@@ -1,0 +1,102 @@
+"""sdf-tpu: a TPU-native signed-distance-function modeling + meshing framework.
+
+Drop-in capable API surface of fogleman/sdf (``from sdf_tpu import *`` runs
+the reference's example scripts unmodified), rebuilt TPU-first: SDF
+expressions are JAX pytrees fused by XLA into single device programs,
+sampling + marching cubes run on device, and grids shard over
+``jax.sharding`` meshes.
+"""
+
+import numpy as np  # the reference's star-export leaks np; scripts rely on it
+
+from .utils.util import pi, degrees, radians
+
+from .ops import easing as ease
+from .ops import shapes2 as d2
+from .ops import shapes3 as d3
+
+from .ops.shapes3 import (
+    ORIGIN,
+    UP,
+    X,
+    Y,
+    Z,
+    SDF3,
+    sphere,
+    plane,
+    slab,
+    box,
+    rounded_box,
+    wireframe_box,
+    torus,
+    capsule,
+    cylinder,
+    capped_cylinder,
+    rounded_cylinder,
+    capped_cone,
+    rounded_cone,
+    ellipsoid,
+    pyramid,
+    tetrahedron,
+    octahedron,
+    dodecahedron,
+    icosahedron,
+    translate,
+    scale,
+    rotate,
+    rotate_to,
+    orient,
+    circular_array,
+    elongate,
+    twist,
+    bend,
+    bend_linear,
+    bend_radial,
+    transition_linear,
+    transition_radial,
+    wrap_around,
+    slice,
+    union,
+    difference,
+    intersection,
+    blend,
+    negate,
+    dilate,
+    erode,
+    shell,
+    repeat,
+)
+
+from .ops.shapes2 import (
+    SDF2,
+    circle,
+    line,
+    rectangle,
+    rounded_rectangle,
+    equilateral_triangle,
+    hexagon,
+    rounded_x,
+    polygon,
+    vesica,
+    extrude,
+    extrude_to,
+    revolve,
+)
+
+from .ops.meshsdf import Mesh
+
+from .ops.textures import (
+    measure_image,
+    measure_text,
+    image,
+    text,
+)
+
+from .core.engine import (
+    generate,
+    save,
+    sample_slice,
+    show_slice,
+)
+
+from .io.stl import write_binary_stl

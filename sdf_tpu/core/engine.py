@@ -1,0 +1,374 @@
+"""Grid sampling + meshing engine (parity: ref sdf/core.py).
+
+TPU-first redesign of the reference engine.  The reference fans 32^3-sample
+batches out to a CPU thread pool and runs numpy + skimage per batch
+(ref sdf/core.py:84-150).  Here:
+
+  * grid *coordinates* are built on the host in float64 with ``np.arange``
+    (identical grid dimensions to the reference, SURVEY.md 2.4.5),
+  * the SDF expression -- one jit-traced pytree -- is evaluated over the
+    whole dense volume in a single compiled program, chunked along z via
+    ``lax.map`` to bound working memory,
+  * sparse tile culling reproduces the reference's ``_skip`` probe test
+    (center + 8 corners per 32^3 tile, ref sdf/core.py:28-43) as one batched
+    device evaluation feeding a per-cell mask,
+  * marching cubes runs on device (see sdf_tpu.core.mc); because reference
+    batches overlap by one sample plane, a single global pass is exactly
+    equivalent to its per-batch meshing.
+
+Output contract matches the reference: a flat (3*T, 3) array of vertices,
+three consecutive rows per triangle (ref sdf/core.py:128-150).
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils import progress
+from ..io import stl
+from . import mc
+from .node import cast
+
+WORKERS = len(jax.devices())
+SAMPLES = 2**22
+BATCH_SIZE = 32
+
+_TARGET_CHUNK_POINTS = 2**22
+
+
+def _cartesian_product(*arrays):
+    la = len(arrays)
+    dtype = np.result_type(*arrays)
+    arr = np.empty([len(a) for a in arrays] + [la], dtype=dtype)
+    for i, a in enumerate(np.ix_(*arrays)):
+        arr[..., i] = a
+    return arr.reshape(-1, la)
+
+
+@jax.jit
+def _eval_points(sdf, p):
+    return sdf(p)
+
+
+def _eval_numpy(sdf, points, dtype=jnp.float32):
+    """Evaluate an SDF expression on host points -> host (N, 1) float64."""
+    p = jnp.asarray(points, dtype=dtype)
+    return np.asarray(_eval_points(cast(sdf, dtype), p), dtype=np.float64)
+
+
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("nchunks",))
+def _eval_volume_jit(sdf, X, Y, Z, nchunks):
+    nx, ny = X.shape[0], Y.shape[0]
+    Zc = Z.reshape(nchunks, -1)
+
+    def slab(zc):
+        px = X[:, None, None]
+        py = Y[None, :, None]
+        pz = zc[None, None, :]
+        shape = (nx, ny, zc.shape[0])
+        p = jnp.stack(
+            [
+                jnp.broadcast_to(px, shape),
+                jnp.broadcast_to(py, shape),
+                jnp.broadcast_to(pz, shape),
+            ],
+            axis=-1,
+        ).reshape(-1, 3)
+        return sdf(p).reshape(shape)
+
+    vols = jax.lax.map(slab, Zc)  # (nchunks, nx, ny, sz)
+    return jnp.moveaxis(vols, 0, 2).reshape(nx, ny, Z.shape[0])
+
+
+def _eval_volume(sdf, X, Y, Z, dtype):
+    """Dense volume evaluation, chunked along z.  X/Y/Z are host float64."""
+    nx, ny, nz = len(X), len(Y), len(Z)
+    sz = max(1, min(nz, -(-_TARGET_CHUNK_POINTS // (nx * ny))))
+    nchunks = -(-nz // sz)
+    pad = nchunks * sz - nz
+    dz = Z[1] - Z[0] if nz > 1 else 1.0
+    Zp = np.concatenate([Z, Z[-1] + dz * np.arange(1, pad + 1)])
+    vol = _eval_volume_jit(
+        sdf,
+        jnp.asarray(X, dtype=dtype),
+        jnp.asarray(Y, dtype=dtype),
+        jnp.asarray(Zp, dtype=dtype),
+        nchunks,
+    )
+    return vol[:, :, :nz]
+
+
+@partial(jax.jit, static_argnames=("tile", "shape"))
+def _expand_tile_mask(keep, tile, shape):
+    m = jnp.repeat(jnp.repeat(jnp.repeat(keep, tile, 0), tile, 1), tile, 2)
+    return m[: shape[0], : shape[1], : shape[2]]
+
+
+def _estimate_bounds(sdf, dtype=jnp.float32):
+    """Iterative probe-grid bounds estimation (ref sdf/core.py:62-82).
+
+    Host-driven loop (each iteration's grid depends on the last); the 16^3
+    probe evaluations run on device through the same jitted evaluator.
+    """
+    s = 16
+    x0 = y0 = z0 = -1e9
+    x1 = y1 = z1 = 1e9
+    prev = None
+    sdf_c = cast(sdf, dtype)
+    for _ in range(32):
+        X = np.linspace(x0, x1, s)
+        Y = np.linspace(y0, y1, s)
+        Z = np.linspace(z0, z1, s)
+        d = np.array([X[1] - X[0], Y[1] - Y[0], Z[1] - Z[0]])
+        threshold = np.linalg.norm(d) / 2
+        if threshold == prev:
+            break
+        prev = threshold
+        P = _cartesian_product(X, Y, Z)
+        volume = np.asarray(
+            _eval_points(sdf_c, jnp.asarray(P, dtype=dtype))
+        ).reshape((len(X), len(Y), len(Z)))
+        # Tiny relative slack: the compute dtype is float32 and probe points
+        # can land exactly on |d| == threshold (they do for the canonical
+        # example model); err on the side of keeping cells.
+        where = np.argwhere(np.abs(volume) <= threshold * (1 + 1e-4))
+        if where.size == 0:
+            raise ValueError(
+                "bounds estimation failed (no surface found); pass bounds= explicitly"
+            )
+        x1, y1, z1 = (x0, y0, z0) + where.max(axis=0) * d + d / 2
+        x0, y0, z0 = (x0, y0, z0) + where.min(axis=0) * d - d / 2
+    return ((x0, y0, z0), (x1, y1, z1))
+
+
+def _tile_slices(n, size):
+    """Tile start indices and (lo, hi) sample index per tile (ref core.py:115)."""
+    starts = list(range(0, n, size))
+    return [(i, min(i + size, n - 1)) for i in starts]
+
+
+def _skip_mask(sdf_c, X, Y, Z, batch_size, dtype):
+    """Vectorized reproduction of the reference's per-batch ``_skip`` test.
+
+    For every tile: evaluate the center point; if |d| exceeds the distance
+    from center to the tile's min corner AND the 8 tile corners all have the
+    same sign as corner 0, the tile is skipped (ref sdf/core.py:28-43).
+    Returns a (tx, ty, tz) bool array, True = skip.
+    """
+    txs = _tile_slices(len(X), batch_size)
+    tys = _tile_slices(len(Y), batch_size)
+    tzs = _tile_slices(len(Z), batch_size)
+    tx, ty, tz = len(txs), len(tys), len(tzs)
+
+    probes = []
+    radii = []
+    for lox, hix in txs:
+        for loy, hiy in tys:
+            for loz, hiz in tzs:
+                x0, x1 = X[lox], X[hix]
+                y0, y1 = Y[loy], Y[hiy]
+                z0, z1 = Z[loz], Z[hiz]
+                cx, cy, cz = (x0 + x1) / 2, (y0 + y1) / 2, (z0 + z1) / 2
+                radii.append(np.linalg.norm([cx - x0, cy - y0, cz - z0]))
+                probes.append(
+                    [
+                        (cx, cy, cz),
+                        (x0, y0, z0),
+                        (x0, y0, z1),
+                        (x0, y1, z0),
+                        (x0, y1, z1),
+                        (x1, y0, z0),
+                        (x1, y0, z1),
+                        (x1, y1, z0),
+                        (x1, y1, z1),
+                    ]
+                )
+    probes = np.array(probes, dtype=np.float64).reshape(-1, 3)
+    values = _eval_numpy(sdf_c, probes, dtype).reshape(-1, 9)
+    center = np.abs(values[:, 0])
+    corners = values[:, 1:]
+    # Slight slack keeps borderline float32 comparisons conservative
+    # (skipping less rather than more).
+    far = center > np.array(radii) * (1 + 1e-4)
+    first_pos = corners[:, 0] > 0
+    same = np.where(
+        first_pos, np.all(corners > 0, axis=1), np.all(corners < 0, axis=1)
+    )
+    return (far & same).reshape(tx, ty, tz)
+
+
+def generate(
+    sdf,
+    step=None,
+    bounds=None,
+    samples=SAMPLES,
+    workers=WORKERS,
+    batch_size=BATCH_SIZE,
+    verbose=True,
+    sparse=True,
+    dtype=None,
+):
+    """Sample the SDF on a dense grid and mesh it (ref sdf/core.py:84-150).
+
+    Returns a flat (3*T, 3) float64 array of world-space vertices, three
+    consecutive rows per triangle.  ``workers`` is accepted for
+    compatibility; parallelism is the device mesh, not a thread pool.
+    """
+    start = time.time()
+    dtype = dtype or jnp.float32
+
+    if bounds is None:
+        bounds = _estimate_bounds(sdf, dtype)
+    (x0, y0, z0), (x1, y1, z1) = bounds
+
+    if step is None and samples is not None:
+        volume = (x1 - x0) * (y1 - y0) * (z1 - z0)
+        step = (volume / samples) ** (1 / 3)
+
+    try:
+        dx, dy, dz = step
+    except TypeError:
+        dx = dy = dz = step
+
+    if verbose:
+        print("min %g, %g, %g" % (x0, y0, z0))
+        print("max %g, %g, %g" % (x1, y1, z1))
+        print("step %g, %g, %g" % (dx, dy, dz))
+
+    X = np.arange(x0, x1, dx)
+    Y = np.arange(y0, y1, dy)
+    Z = np.arange(z0, z1, dz)
+
+    s = batch_size
+    num_batches = (-(-len(X) // s)) * (-(-len(Y) // s)) * (-(-len(Z) // s))
+    lens = lambda n: [min(n - i, s + 1) for i in range(0, n, s)]
+    num_samples = sum(
+        lx * ly * lz for lx in lens(len(X)) for ly in lens(len(Y)) for lz in lens(len(Z))
+    )
+
+    if verbose:
+        print(
+            "%d samples in %d batches with %d devices"
+            % (num_samples, num_batches, len(jax.devices()))
+        )
+
+    bar = progress.Bar(num_batches, enabled=verbose)
+
+    if len(X) < 2 or len(Y) < 2 or len(Z) < 2:
+        bar.done()
+        return np.zeros((0, 3), dtype=np.float64)
+
+    sdf_c = cast(sdf, dtype)
+
+    skip = (
+        _skip_mask(sdf_c, X, Y, Z, s, dtype)
+        if sparse
+        else np.zeros(
+            (-(-len(X) // s), -(-len(Y) // s), -(-len(Z) // s)), dtype=bool
+        )
+    )
+    bar.update(num_batches * 0.1)
+
+    vol = _eval_volume(sdf_c, X, Y, Z, dtype)
+    bar.update(num_batches * 0.6)
+
+    cshape = (len(X) - 1, len(Y) - 1, len(Z) - 1)
+    keep = _expand_tile_mask(jnp.asarray(~skip), s, cshape)
+
+    total, per_tile = mc.count(vol, keep, s)
+    n = int(total)
+    bar.update(num_batches * 0.8)
+
+    if n == 0:
+        points = np.zeros((0, 3), dtype=np.float64)
+    else:
+        capacity = 1 << (n - 1).bit_length()
+        verts, n_tris = mc.emit(vol, keep, capacity)
+        n = int(n_tris)
+        verts = np.asarray(verts[:n], dtype=np.float64).reshape(-1, 3)
+        scale = np.array([dx, dy, dz])
+        offset = np.array([X[0], Y[0], Z[0]])
+        points = verts * scale + offset
+    bar.done()
+
+    if verbose:
+        # per_tile is sized on cell tiles, which can be one short of the
+        # sample-tile grid when an axis has a degenerate 1-sample last tile.
+        pt = np.zeros(skip.shape, dtype=np.int64)
+        a, b, c = np.asarray(per_tile).shape
+        pt[:a, :b, :c] = np.asarray(per_tile)[
+            : skip.shape[0], : skip.shape[1], : skip.shape[2]
+        ]
+        skipped = int(skip.sum())
+        nonempty = int(((pt > 0) & ~skip).sum())
+        empty = num_batches - skipped - nonempty
+        print("%d skipped, %d empty, %d nonempty" % (skipped, empty, nonempty))
+        triangles = len(points) // 3
+        seconds = time.time() - start
+        print("%d triangles in %g seconds" % (triangles, seconds))
+
+    return points
+
+
+def save(path, sdf, *args, **kwargs):
+    points = generate(sdf, *args, **kwargs)
+    if path.lower().endswith(".stl"):
+        stl.write_binary_stl(path, points)
+    else:
+        from ..io import meshfmt
+
+        meshfmt.write_mesh(path, points)
+    return points
+
+
+def sample_slice(sdf, w=1024, h=1024, x=None, y=None, z=None, bounds=None, dtype=None):
+    """Sample a planar slice for debugging (ref sdf/core.py:202-232)."""
+    dtype = dtype or jnp.float32
+    if bounds is None:
+        bounds = _estimate_bounds(sdf, dtype)
+    (x0, y0, z0), (x1, y1, z1) = bounds
+
+    if x is not None:
+        X = np.array([x])
+        Y = np.linspace(y0, y1, w)
+        Z = np.linspace(z0, z1, h)
+        extent = (Z[0], Z[-1], Y[0], Y[-1])
+        axes = "ZY"
+    elif y is not None:
+        Y = np.array([y])
+        X = np.linspace(x0, x1, w)
+        Z = np.linspace(z0, z1, h)
+        extent = (Z[0], Z[-1], X[0], X[-1])
+        axes = "ZX"
+    elif z is not None:
+        Z = np.array([z])
+        X = np.linspace(x0, x1, w)
+        Y = np.linspace(y0, y1, h)
+        extent = (Y[0], Y[-1], X[0], X[-1])
+        axes = "YX"
+    else:
+        raise Exception("x, y, or z position must be specified")
+
+    P = _cartesian_product(X, Y, Z)
+    return _eval_numpy(sdf, P, dtype).reshape((w, h)), extent, axes
+
+
+def show_slice(*args, **kwargs):
+    import matplotlib.pyplot as plt
+
+    show_abs = kwargs.pop("abs", False)
+    a, extent, axes = sample_slice(*args, **kwargs)
+    if show_abs:
+        a = np.abs(a)
+    im = plt.imshow(a, extent=extent, origin="lower")
+    plt.xlabel(axes[0])
+    plt.ylabel(axes[1])
+    plt.colorbar(im)
+    plt.show()

@@ -1,0 +1,127 @@
+"""On-device marching cubes (replaces skimage, ref sdf/core.py:16-18,54).
+
+XLA needs static shapes, but marching cubes has a data-dependent output
+size.  The pipeline therefore runs in two jitted phases with one host sync
+in between (the idiomatic TPU pattern for compaction):
+
+  * ``count``: per-cell case classification over the whole volume ->
+    per-cell triangle counts (+ per-tile totals for the reference's
+    skipped/empty/nonempty stats, ref sdf/core.py:129-145).
+  * ``emit``: given a static capacity (rounded up to a power of two so the
+    executable is reused across runs), gather the active cells, interpolate
+    the crossing-edge vertices and write a fixed-size triangle buffer plus a
+    validity count.
+
+Vertices are produced in fractional index coordinates, exactly like
+skimage's output, and mapped to world space by ``verts * step + origin``
+(ref sdf/core.py:58-60).  Because the reference's batches overlap by one
+sample plane, per-batch marching cubes over tiles is identical to one global
+pass over the full volume -- so this kernel runs globally and keeps the
+reference's tile semantics via masks.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .mc_tables import CORNER_OFFSETS, EDGE_CORNERS, NTRI_TABLE, TRI_TABLE
+
+MAX_TRIS_PER_CELL = TRI_TABLE.shape[1]
+
+# Flattened (case, tri, vertex) -> cube edge lookup, -1 padded.
+_TRI_FLAT = TRI_TABLE.reshape(256, -1)  # (256, MAX_TRIS * 3)
+_EDGE_A = EDGE_CORNERS[:, 0]
+_EDGE_B = EDGE_CORNERS[:, 1]
+
+
+def _cell_cases(volume, level=0.0):
+    """Case index per cell: bit c set iff corner c is inside (< level)."""
+    nx, ny, nz = volume.shape
+    case = jnp.zeros((nx - 1, ny - 1, nz - 1), dtype=jnp.int32)
+    for c, (ox, oy, oz) in enumerate(np.asarray(CORNER_OFFSETS)):
+        corner = volume[ox : nx - 1 + ox, oy : ny - 1 + oy, oz : nz - 1 + oz]
+        case = case | (jnp.int32(1 << c) * (corner < level).astype(jnp.int32))
+    return case
+
+
+@partial(jax.jit, static_argnames=("tile",))
+def count(volume, cell_mask, tile):
+    """Phase 1: per-cell triangle counts and per-tile totals.
+
+    ``cell_mask`` zeroes cells culled by sparse tile skipping (the
+    reference's ``_skip``, ref sdf/core.py:28-43).  ``tile`` is the cell
+    tile size (reference ``batch_size``, default 32).
+
+    Returns (total_triangles, per_tile_triangle_counts).
+    """
+    case = _cell_cases(volume)
+    ntri = jnp.asarray(NTRI_TABLE)[case] * cell_mask.astype(jnp.int32)
+    cx, cy, cz = ntri.shape
+    # Pad cells up to tile multiples, then reduce per tile.
+    px, py, pz = (-cx) % tile, (-cy) % tile, (-cz) % tile
+    padded = jnp.pad(ntri, ((0, px), (0, py), (0, pz)))
+    tx, ty, tz = (cx + px) // tile, (cy + py) // tile, (cz + pz) // tile
+    per_tile = padded.reshape(tx, tile, ty, tile, tz, tile).sum(axis=(1, 3, 5))
+    return jnp.sum(ntri), per_tile
+
+
+@partial(jax.jit, static_argnames=("capacity",))
+def emit(volume, cell_mask, capacity):
+    """Phase 2: triangle soup with a static ``capacity``.
+
+    Returns ``(verts, n_tris)`` where ``verts`` is ``(capacity, 3, 3)`` in
+    fractional index coordinates; rows ``[0:n_tris]`` are valid (flatnonzero
+    packs real indices first).
+    """
+    case = _cell_cases(volume)
+    ntri = jnp.asarray(NTRI_TABLE)[case] * cell_mask.astype(jnp.int32)
+    cshape = case.shape
+
+    # One work item per (cell, tri-slot); active slots are compacted so the
+    # interpolation below only runs on real triangles.
+    slot_valid = (
+        jax.lax.broadcasted_iota(jnp.int32, (case.size, MAX_TRIS_PER_CELL), 1)
+        < ntri.reshape(-1, 1)
+    ).reshape(-1)
+    flat = jnp.flatnonzero(slot_valid, size=capacity, fill_value=0)
+    n_tris = jnp.sum(slot_valid.astype(jnp.int32))
+
+    cell_idx = flat // MAX_TRIS_PER_CELL
+    slot = flat % MAX_TRIS_PER_CELL
+    ci, cj, ck = jnp.unravel_index(cell_idx, cshape)
+    cell_case = case.reshape(-1)[cell_idx]
+
+    # Gather the 8 corner values of each active cell.
+    nx, ny, nz = volume.shape
+    vflat = volume.reshape(-1)
+    corner_vals = []
+    for ox, oy, oz in np.asarray(CORNER_OFFSETS):
+        lin = ((ci + ox) * ny + (cj + oy)) * nz + (ck + oz)
+        corner_vals.append(vflat[lin])
+    corner_vals = jnp.stack(corner_vals, axis=-1)  # (capacity, 8)
+
+    # Edge ids of this slot's triangle.
+    edges = jnp.asarray(_TRI_FLAT)[cell_case]  # (capacity, MAX_TRIS*3)
+    base = (slot * 3).reshape(-1, 1) + jnp.arange(3, dtype=slot.dtype)
+    tri_edges = jnp.take_along_axis(edges, base, axis=1)  # (capacity, 3)
+    tri_edges = jnp.maximum(tri_edges, 0)  # padding slots: clamp, masked out
+
+    # Interpolate each vertex along its crossing edge.
+    ca = jnp.asarray(_EDGE_A)[tri_edges]  # (capacity, 3) corner ids
+    cb = jnp.asarray(_EDGE_B)[tri_edges]
+    va = jnp.take_along_axis(corner_vals, ca, axis=1)
+    vb = jnp.take_along_axis(corner_vals, cb, axis=1)
+    denom = va - vb
+    t = va / jnp.where(denom == 0, 1.0, denom)  # zero crossing, level = 0
+    t = jnp.clip(t, 0.0, 1.0)
+
+    offs = jnp.asarray(CORNER_OFFSETS, dtype=volume.dtype)  # (8, 3)
+    pa = offs[ca]  # (capacity, 3, 3)
+    pb = offs[cb]
+    base_pos = jnp.stack([ci, cj, ck], axis=-1).astype(volume.dtype)
+    verts = base_pos[:, None, :] + pa + t[..., None] * (pb - pa)
+    return verts, n_tris

@@ -1,0 +1,341 @@
+"""2D primitives, positioning ops and 2D->3D lifts (parity: ref sdf/d2.py).
+
+Same pytree-node design as shapes3; see that module's docstring.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.node import SDF2, as_param, op2, op23, sdf2
+from . import csg, easing as ease
+
+# Constants (ref sdf/d2.py:9-14)
+
+ORIGIN = np.array((0, 0))
+
+X = np.array((1, 0))
+Y = np.array((0, 1))
+
+UP = Y
+
+# Helpers
+
+
+def _length(a):
+    return jnp.linalg.norm(a, axis=1)
+
+
+def _normalize(a):
+    return a / np.linalg.norm(a)
+
+
+def _dot(a, b):
+    return jnp.sum(a * b, axis=1)
+
+
+def _vec(*arrs):
+    return jnp.stack(arrs, axis=-1)
+
+
+_min = jnp.minimum
+_max = jnp.maximum
+
+# Primitives
+
+
+@sdf2
+def circle(radius=1, center=ORIGIN):
+    params = {"radius": as_param(radius), "center": as_param(center)}
+
+    def fn(q, p):
+        return _length(p - q["center"]) - q["radius"]
+
+    return fn, params
+
+
+@sdf2
+def line(normal=UP, point=ORIGIN):
+    params = {
+        "normal": as_param(_normalize(np.asarray(normal, dtype=np.float64))),
+        "point": as_param(point),
+    }
+
+    def fn(q, p):
+        return jnp.dot(q["point"] - p, q["normal"])
+
+    return fn, params
+
+
+@sdf2
+def slab(x0=None, y0=None, x1=None, y1=None, k=None):
+    fs = []
+    if x0 is not None:
+        fs.append(line(X, (x0, 0)))
+    if x1 is not None:
+        fs.append(line(-X, (x1, 0)))
+    if y0 is not None:
+        fs.append(line(Y, (0, y0)))
+    if y1 is not None:
+        fs.append(line(-Y, (0, y1)))
+    return intersection(*fs, k=k)
+
+
+@sdf2
+def rectangle(size=1, center=ORIGIN, a=None, b=None):
+    if a is not None and b is not None:
+        a = np.asarray(a, dtype=np.float64)
+        b = np.asarray(b, dtype=np.float64)
+        size = b - a
+        center = a + size / 2
+        return rectangle(size, center)
+    params = {"size": as_param(size), "center": as_param(center)}
+
+    def fn(q, p):
+        d = jnp.abs(p - q["center"]) - q["size"] / 2
+        return _length(_max(d, 0)) + _min(jnp.amax(d, axis=1), 0)
+
+    return fn, params
+
+
+@sdf2
+def rounded_rectangle(size, radius, center=ORIGIN):
+    try:
+        r0, r1, r2, r3 = radius
+    except TypeError:
+        r0 = r1 = r2 = r3 = radius
+    params = {
+        "size": as_param(size),
+        "r": as_param((r0, r1, r2, r3)),
+        "center": as_param(center),
+    }
+
+    def fn(q, p):
+        x = p[:, 0]
+        y = p[:, 1]
+        r0_, r1_, r2_, r3_ = q["r"]
+        # Per-quadrant corner radius (ref sdf/d2.py:122-129 uses boolean
+        # assignment; jnp.where is the traced equivalent).
+        r = jnp.where(
+            x > 0,
+            jnp.where(y > 0, r0_, r1_),
+            jnp.where(y <= 0, r2_, r3_),
+        ).reshape((-1, 1))
+        d = jnp.abs(p) - q["size"] / 2 + r
+        return (
+            _min(_max(d[:, 0], d[:, 1]), 0).reshape((-1, 1))
+            + _length(_max(d, 0)).reshape((-1, 1))
+            - r
+        )
+
+    return fn, params
+
+
+@sdf2
+def equilateral_triangle():
+    def fn(q, p):
+        k = 3**0.5
+        p = _vec(jnp.abs(p[:, 0]) - 1, p[:, 1] + 1 / k)
+        w = p[:, 0] + k * p[:, 1] > 0
+        v = _vec(p[:, 0] - k * p[:, 1], -k * p[:, 0] - p[:, 1]) / 2
+        p = jnp.where(w.reshape((-1, 1)), v, p)
+        p = _vec(p[:, 0] - jnp.clip(p[:, 0], -2, 0), p[:, 1])
+        return -_length(p) * jnp.sign(p[:, 1])
+
+    return fn, {}
+
+
+@sdf2
+def hexagon(r):
+    params = {"r": as_param(float(r) * 3**0.5 / 2)}
+
+    def fn(q, p):
+        r_ = q["r"]
+        k = np.array((3**0.5 / -2, 0.5, np.tan(np.pi / 6)))
+        p = jnp.abs(p)
+        p -= 2 * k[:2] * _min(_dot(k[:2], p), 0).reshape((-1, 1))
+        p -= _vec(
+            jnp.clip(p[:, 0], -k[2] * r_, k[2] * r_),
+            jnp.zeros_like(p[:, 0]) + r_,
+        )
+        return _length(p) * jnp.sign(p[:, 1])
+
+    return fn, params
+
+
+@sdf2
+def rounded_x(w, r):
+    params = {"w": as_param(w), "r": as_param(r)}
+
+    def fn(q, p):
+        p = jnp.abs(p)
+        d = (_min(p[:, 0] + p[:, 1], q["w"]) * 0.5).reshape((-1, 1))
+        return _length(p - d) - q["r"]
+
+    return fn, params
+
+
+@sdf2
+def polygon(points):
+    points = [as_param(p) for p in points]
+    params = {"points": points}
+
+    def fn(q, p):
+        pts = q["points"]
+        n = len(pts)
+        d = _dot(p - pts[0], p - pts[0])
+        s = jnp.ones(p.shape[0])
+        for i in range(n):
+            j = (i + n - 1) % n
+            vi = pts[i]
+            vj = pts[j]
+            e = vj - vi
+            w = p - vi
+            b = w - e * jnp.clip(jnp.dot(w, e) / jnp.dot(e, e), 0, 1).reshape((-1, 1))
+            d = _min(d, _dot(b, b))
+            c1 = p[:, 1] >= vi[1]
+            c2 = p[:, 1] < vj[1]
+            c3 = e[0] * w[:, 1] > e[1] * w[:, 0]
+            c = _vec(c1, c2, c3)
+            s = jnp.where(jnp.all(c, axis=1) | jnp.all(~c, axis=1), -s, s)
+        return s * jnp.sqrt(d)
+
+    return fn, params
+
+
+@sdf2
+def vesica(r, d):
+    params = {"r": as_param(r), "d": as_param(d)}
+
+    def fn(q, p):
+        r_, d_ = q["r"], q["d"]
+        p = jnp.abs(p)
+        b = jnp.sqrt(r_ * r_ - d_ * d_)
+        return jnp.where(
+            (p[:, 1] - b) * d_ > p[:, 0] * b,
+            _length(p - _vec(jnp.zeros_like(b), b)),
+            _length(p - _vec(-d_, jnp.zeros_like(d_))) - r_,
+        )
+
+    return fn, params
+
+
+# Positioning
+
+
+@op2
+def translate(other, offset):
+    params = {"other": other, "offset": as_param(offset)}
+
+    def fn(q, p):
+        return q["other"](p - q["offset"])
+
+    return fn, params
+
+
+@op2
+def scale(other, factor):
+    try:
+        x, y = factor
+    except TypeError:
+        x = y = factor
+    params = {"other": other, "s": as_param((x, y)), "m": as_param(min(x, y))}
+
+    def fn(q, p):
+        return q["other"](p / q["s"]) * q["m"]
+
+    return fn, params
+
+
+@op2
+def rotate(other, angle):
+    s = np.sin(angle)
+    c = np.cos(angle)
+    matrix = np.array([[c, -s], [s, c]]).T
+    params = {"other": other, "matrix": as_param(matrix)}
+
+    def fn(q, p):
+        return q["other"](jnp.dot(p, q["matrix"]))
+
+    return fn, params
+
+
+@op2
+def circular_array(other, count):
+    # True k-way union of rotated copies in 2D (ref sdf/d2.py:242-245),
+    # unlike the 2-evaluation 3D variant.
+    angles = [i / count * 2 * np.pi for i in range(count)]
+    return union(*[other.rotate(a) for a in angles])
+
+
+# Alterations
+
+
+@op2
+def elongate(other, size):
+    params = {"other": other, "size": as_param(size)}
+
+    def fn(q, p):
+        d = jnp.abs(p) - q["size"]
+        x = d[:, 0].reshape((-1, 1))
+        y = d[:, 1].reshape((-1, 1))
+        w = _min(_max(x, y), 0)
+        return q["other"](_max(d, 0)) + w
+
+    return fn, params
+
+
+# 2D => 3D Operations
+
+
+@op23
+def extrude(other, h):
+    params = {"other": other, "h": as_param(h)}
+
+    def fn(q, p):
+        d = q["other"](p[:, [0, 1]])
+        w = _vec(d.reshape(-1), jnp.abs(p[:, 2]) - q["h"] / 2)
+        return _min(_max(w[:, 0], w[:, 1]), 0) + _length(_max(w, 0))
+
+    return fn, params
+
+
+@op23
+def extrude_to(a, b, h, e=ease.linear):
+    params = {"a": a, "b": b, "h": as_param(h)}
+
+    def fn(q, p):
+        d1 = q["a"](p[:, [0, 1]])
+        d2 = q["b"](p[:, [0, 1]])
+        t = e(jnp.clip(p[:, 2] / q["h"], -0.5, 0.5) + 0.5)
+        d = d1 + (d2 - d1) * t.reshape((-1, 1))
+        w = _vec(d.reshape(-1), jnp.abs(p[:, 2]) - q["h"] / 2)
+        return _min(_max(w[:, 0], w[:, 1]), 0) + _length(_max(w, 0))
+
+    return fn, params
+
+
+@op23
+def revolve(other, offset=0):
+    params = {"other": other, "offset": as_param(offset)}
+
+    def fn(q, p):
+        xy = p[:, [0, 1]]
+        w = _vec(_length(xy) - q["offset"], p[:, 2])
+        return q["other"](w)
+
+    return fn, params
+
+
+# Common n-D CSG ops registered for SDF2 (ref sdf/d2.py:290-298)
+
+union = op2(csg.union)
+difference = op2(csg.difference)
+intersection = op2(csg.intersection)
+blend = op2(csg.blend)
+negate = op2(csg.negate)
+dilate = op2(csg.dilate)
+erode = op2(csg.erode)
+shell = op2(csg.shell)
+repeat = op2(csg.repeat)

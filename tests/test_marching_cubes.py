@@ -1,0 +1,144 @@
+"""Device marching-cubes validation.
+
+No skimage is available offline, so instead of golden-file comparison these
+tests validate the stronger structural properties our table construction
+guarantees (see sdf_tpu/core/mc_tables.py):
+
+  * every emitted vertex lies on the isosurface (|sdf| small),
+  * the mesh is watertight (every edge shared by exactly two triangles,
+    opposite orientation) -- classic published MC tables do NOT pass this on
+    ambiguous cases; our construction does by design,
+  * triangle winding gives outward normals,
+  * enclosed volume and area match analytic ground truth.
+"""
+
+import numpy as np
+import pytest
+
+import sdf_tpu as st
+from sdf_tpu.core import mc, mc_tables
+
+
+def _triangulate_volume(volume, tile=32):
+    import jax.numpy as jnp
+
+    vol = jnp.asarray(volume, dtype=jnp.float32)
+    mask = jnp.ones(tuple(s - 1 for s in volume.shape), dtype=bool)
+    total, _ = mc.count(vol, mask, tile)
+    n = int(total)
+    if n == 0:
+        return np.zeros((0, 3, 3))
+    capacity = 1 << (n - 1).bit_length()
+    verts, n_tris = mc.emit(vol, mask, capacity)
+    return np.asarray(verts[: int(n_tris)], dtype=np.float64)
+
+
+def _edge_multiset(tris_idx):
+    """Directed edge counts from triangle soup in index space."""
+    edges = {}
+    for tri in tris_idx:
+        for i in range(3):
+            # Exact coordinates: seam vertices are bit-identical by the
+            # canonical edge-direction construction, so no rounding is needed
+            # (rounding can collapse distinct near-corner vertices).
+            a = tuple(tri[i])
+            b = tuple(tri[(i + 1) % 3])
+            edges[(a, b)] = edges.get((a, b), 0) + 1
+    return edges
+
+
+def _sphere_volume(n=48, r=0.8):
+    lin = np.linspace(-1.2, 1.2, n)
+    X, Y, Z = np.meshgrid(lin, lin, lin, indexing="ij")
+    return np.sqrt(X**2 + Y**2 + Z**2) - r, lin
+
+
+def test_tables_structurally_valid():
+    t = mc_tables
+    for case in range(256):
+        inside = [(case >> c) & 1 for c in range(8)]
+        crossing = {
+            e
+            for e, (a, b) in enumerate(np.asarray(t.EDGE_CORNERS))
+            if inside[a] != inside[b]
+        }
+        used = set()
+        for tri in t.TRI_TABLE[case][: t.NTRI_TABLE[case]]:
+            tri = [int(x) for x in tri]
+            assert len(set(tri)) == 3
+            assert set(tri) <= crossing
+            used.update(tri)
+        # every crossing edge must be used by some triangle (no dropped
+        # surface), unless the case has no triangles at all
+        if t.NTRI_TABLE[case] > 0:
+            assert used == crossing, case
+
+
+def test_sphere_vertices_on_surface():
+    vol, lin = _sphere_volume()
+    tris = _triangulate_volume(vol)
+    assert len(tris) > 500
+    step = lin[1] - lin[0]
+    pts = tris.reshape(-1, 3) * step + lin[0]
+    d = np.abs(np.linalg.norm(pts, axis=1) - 0.8)
+    # linear interpolation error is O(step^2 / r)
+    assert d.max() < step * step / 0.8 * 2.0
+
+
+def test_sphere_watertight_and_oriented():
+    vol, _ = _sphere_volume(n=24)
+    tris = _triangulate_volume(vol)
+    edges = _edge_multiset(tris)
+    for (a, b), count in edges.items():
+        assert count == 1, "duplicate directed edge => non-manifold"
+        assert edges.get((b, a), 0) == 1, "boundary edge => hole in mesh"
+
+
+def test_sphere_outward_normals_and_volume():
+    vol, lin = _sphere_volume()
+    tris = _triangulate_volume(vol)
+    step = lin[1] - lin[0]
+    world = tris * step + lin[0]
+    a, b, c = world[:, 0], world[:, 1], world[:, 2]
+    normals = np.cross(b - a, c - a)
+    centers = (a + b + c) / 3
+    # outward = pointing away from the origin for a sphere
+    outward = np.sum(normals * centers, axis=1)
+    frac = np.mean(outward > 0)
+    assert frac > 0.99, f"only {frac:.2%} of normals outward"
+    # divergence theorem: signed volume of the closed mesh
+    vol6 = np.sum(np.einsum("ij,ij->i", a, np.cross(b, c)))
+    mesh_volume = vol6 / 6.0
+    true_volume = 4 / 3 * np.pi * 0.8**3
+    assert abs(mesh_volume - true_volume) / true_volume < 0.01
+
+
+def test_random_volumes_closed():
+    """On adversarial noise volumes the surface must be *closed*: every
+    interior directed edge is balanced by its reverse.  (Strict manifoldness
+    can be violated on ambiguous faces -- two sheets touching along an edge --
+    which is inherent to per-cell MC triangulations; smooth-SDF manifoldness
+    is covered by the sphere test.)"""
+    rng = np.random.RandomState(7)
+    for trial in range(5):
+        vol = rng.standard_normal((6, 6, 6))
+        tris = _triangulate_volume(vol)
+        edges = _edge_multiset(tris)
+        for (a, b), count in edges.items():
+            # interior edges must balance; volume-boundary edges are open by
+            # definition, so only check edges strictly inside the domain
+            mid = (np.array(a) + np.array(b)) / 2
+            if np.all(mid > 1e-6) and np.all(mid < 5 - 1e-6):
+                assert edges.get((b, a), 0) == count, (trial, a, b)
+
+
+def test_all_cases_reachable_and_consistent():
+    """Brute-force all 256 corner configurations as 2x2x2 volumes; each must
+    triangulate without error and cover every crossing edge."""
+    for case in range(256):
+        vol = np.ones((2, 2, 2), dtype=np.float32)
+        for c, (ox, oy, oz) in enumerate(np.asarray(mc_tables.CORNER_OFFSETS)):
+            if (case >> c) & 1:
+                vol[ox, oy, oz] = -1.0
+        tris = _triangulate_volume(vol, tile=1)
+        assert len(tris) == int(mc_tables.NTRI_TABLE[case])
