@@ -214,15 +214,23 @@ def generate(
     verbose=True,
     sparse=True,
     dtype=None,
+    mesh=None,
 ):
     """Sample the SDF on a dense grid and mesh it (ref sdf/core.py:84-150).
 
     Returns a flat (3*T, 3) float64 array of world-space vertices, three
     consecutive rows per triangle.  ``workers`` is accepted for
-    compatibility; parallelism is the device mesh, not a thread pool.
+    compatibility; parallelism is the device mesh, not a thread pool:
+    pass ``mesh=`` (a 1D ``jax.sharding.Mesh``) to shard the grid over
+    devices, or leave it None to auto-shard when >1 device is visible.
     """
     start = time.time()
     dtype = dtype or jnp.float32
+
+    if mesh is None and len(jax.devices()) > 1:
+        from ..parallel import grid as pgrid
+
+        mesh = pgrid.make_mesh()
 
     if bounds is None:
         bounds = _estimate_bounds(sdf, dtype)
@@ -276,26 +284,33 @@ def generate(
     )
     bar.update(num_batches * 0.1)
 
-    vol = _eval_volume(sdf_c, X, Y, Z, dtype)
-    bar.update(num_batches * 0.6)
+    if mesh is not None and mesh.devices.size > 1:
+        from ..parallel import grid as pgrid
 
-    cshape = (len(X) - 1, len(Y) - 1, len(Z) - 1)
-    keep = _expand_tile_mask(jnp.asarray(~skip), s, cshape)
-
-    total, per_tile = mc.count(vol, keep, s)
-    n = int(total)
-    bar.update(num_batches * 0.8)
-
-    if n == 0:
-        points = np.zeros((0, 3), dtype=np.float64)
+        verts, per_tile = pgrid.mesh_and_march(sdf_c, X, Y, Z, skip, s, mesh, dtype)
+        bar.update(num_batches * 0.8)
     else:
-        capacity = 1 << (n - 1).bit_length()
-        verts, n_tris = mc.emit(vol, keep, capacity)
-        n = int(n_tris)
-        verts = np.asarray(verts[:n], dtype=np.float64).reshape(-1, 3)
-        scale = np.array([dx, dy, dz])
-        offset = np.array([X[0], Y[0], Z[0]])
-        points = verts * scale + offset
+        vol = _eval_volume(sdf_c, X, Y, Z, dtype)
+        bar.update(num_batches * 0.6)
+
+        cshape = (len(X) - 1, len(Y) - 1, len(Z) - 1)
+        keep = _expand_tile_mask(jnp.asarray(~skip), s, cshape)
+
+        total, per_tile = mc.count(vol, keep, s)
+        n = int(total)
+        bar.update(num_batches * 0.8)
+
+        if n == 0:
+            verts = np.zeros((0, 3), dtype=np.float64)
+        else:
+            capacity = 1 << (n - 1).bit_length()
+            dverts, n_tris = mc.emit(vol, keep, capacity)
+            n = int(n_tris)
+            verts = np.asarray(dverts[:n], dtype=np.float64).reshape(-1, 3)
+
+    scale = np.array([dx, dy, dz])
+    offset = np.array([X[0], Y[0], Z[0]])
+    points = verts.reshape(-1, 3) * scale + offset
     bar.done()
 
     if verbose:

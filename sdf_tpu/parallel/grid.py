@@ -1,0 +1,206 @@
+"""Multi-device sharded grid sampling + meshing.
+
+TPU-native replacement for the reference's thread-pool fan-out
+(ref sdf/core.py:114-141): the sample grid is sharded over a
+``jax.sharding.Mesh`` along z-slabs, every device independently evaluates
+its slab (SDF evaluation is pointwise, so there is *zero* communication in
+the hot path -- the 1-sample halo plane each slab needs for marching cubes
+is recomputed locally instead of exchanged, mirroring the reference's
++1-sample batch overlap, ref sdf/core.py:115-117), per-slab marching cubes
+emits into fixed-capacity buffers, and only the final compacted triangle
+soup is gathered to the host (the analog of the reference's results-list
+merge, ref sdf/core.py:128-141).
+
+Collectives used: one ``psum`` over the mesh for the per-tile triangle
+statistics (the reference's skipped/empty/nonempty counters,
+ref sdf/core.py:129-145).  Everything else is embarrassingly parallel.
+
+Two jitted phases with one host sync for the output capacity, identical in
+structure to the single-device path (see sdf_tpu.core.mc): count -> choose
+capacity -> emit.  The evaluated volume stays device-resident (sharded)
+between the phases.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core import mc
+from ..core.mc_tables import NTRI_TABLE
+
+AXIS = "grid"
+
+
+def make_mesh(devices=None, axis_name=AXIS):
+    """A 1D device mesh over the grid (z-slab) axis."""
+    devices = jax.devices() if devices is None else devices
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def _slab_eval(sdf, X, Y, Zblk, chunk_points):
+    """Evaluate the SDF over one device's (nx, ny, len(Zblk)) slab.
+
+    Chunked along z with ``lax.map`` to bound VMEM-resident working set,
+    like the single-device engine.
+    """
+    nx, ny = X.shape[0], Y.shape[0]
+    nzb = Zblk.shape[0]
+    sz = max(1, min(nzb, -(-chunk_points // (nx * ny))))
+    nchunks = -(-nzb // sz)
+    pad = nchunks * sz - nzb
+    Zp = jnp.concatenate([Zblk, jnp.full((pad,), Zblk[-1], Zblk.dtype)])
+
+    def slab(zc):
+        shape = (nx, ny, zc.shape[0])
+        p = jnp.stack(
+            [
+                jnp.broadcast_to(X[:, None, None], shape),
+                jnp.broadcast_to(Y[None, :, None], shape),
+                jnp.broadcast_to(zc[None, None, :], shape),
+            ],
+            axis=-1,
+        ).reshape(-1, 3)
+        return sdf(p).reshape(shape)
+
+    vols = jax.lax.map(slab, Zp.reshape(nchunks, sz))
+    return jnp.moveaxis(vols, 0, 2).reshape(nx, ny, nchunks * sz)[:, :, :nzb]
+
+
+def _local_cell_mask(keep_xy, c, ncz, tile, axis_name):
+    """Per-device cell mask from the global (skip-expanded) xy tile mask.
+
+    keep_xy: (ncx, ncy, n_z_tiles) bool -- True = tile kept, already
+    expanded along x/y to cell resolution but still tile-indexed in z.
+    Returns (ncx, ncy, c) bool for this device's z cell range, with padded
+    cells (beyond the real grid) masked off.
+    """
+    dev = jax.lax.axis_index(axis_name)
+    zcells = dev * c + jnp.arange(c, dtype=jnp.int32)
+    ztile = jnp.clip(zcells // tile, 0, keep_xy.shape[2] - 1)
+    mask = keep_xy[:, :, ztile]
+    return mask & (zcells < ncz)[None, None, :]
+
+
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "c", "ncz", "tile", "n_z_tiles", "chunk_points"),
+)
+def _phase_count(sdf, X, Y, Zs, keep_xy, mesh, c, ncz, tile, n_z_tiles, chunk_points):
+    """Sharded phase 1: evaluate slabs, count triangles per cell.
+
+    Returns (vol, totals, per_tile): vol is the sharded evaluated volume
+    (ndev, nx, ny, c+1); totals (ndev,) triangle counts; per_tile the
+    global (tx, ty, tz) per-tile triangle counts (replicated).
+    """
+
+    def body(X, Y, Zblk, keep_xy):
+        Zblk = Zblk[0]
+        vol = _slab_eval(sdf, X, Y, Zblk, chunk_points)
+        mask = _local_cell_mask(keep_xy, c, ncz, tile, AXIS)
+        case = mc._cell_cases(vol)
+        ntri = jnp.asarray(NTRI_TABLE)[case] * mask.astype(jnp.int32)
+        total = jnp.sum(ntri)
+
+        # Global per-tile stats: bin local z cells into *global* z tiles
+        # (slab boundaries do not align with 32-cell tiles), then psum.
+        ncx, ncy = ntri.shape[0], ntri.shape[1]
+        px, py = (-ncx) % tile, (-ncy) % tile
+        padded = jnp.pad(ntri, ((0, px), (0, py), (0, 0)))
+        tx, ty = (ncx + px) // tile, (ncy + py) // tile
+        xy_tiled = padded.reshape(tx, tile, ty, tile, -1).sum(axis=(1, 3))
+        dev = jax.lax.axis_index(AXIS)
+        ztile = (dev * c + jnp.arange(c, dtype=jnp.int32)) // tile
+        per_tile = jax.ops.segment_sum(
+            jnp.moveaxis(xy_tiled, 2, 0), ztile, num_segments=n_z_tiles
+        )
+        per_tile = jnp.moveaxis(per_tile, 0, 2)
+        per_tile = jax.lax.psum(per_tile, AXIS)
+        return vol[None], total[None], per_tile
+
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), P(), P(AXIS), P()),
+        out_specs=(P(AXIS), P(AXIS), P()),
+    )(X, Y, Zs, keep_xy)
+
+
+@partial(jax.jit, static_argnames=("mesh", "c", "ncz", "tile", "capacity"))
+def _phase_emit(vol, keep_xy, mesh, c, ncz, tile, capacity):
+    """Sharded phase 2: per-slab marching cubes into fixed-size buffers.
+
+    Returns (verts, counts): verts (ndev, capacity, 3, 3) in *global*
+    fractional index coordinates; counts (ndev,) valid triangle counts.
+    """
+
+    def body(vol, keep_xy):
+        vol = vol[0]
+        mask = _local_cell_mask(keep_xy, c, ncz, tile, AXIS)
+        verts, n = mc.emit(vol, mask, capacity)
+        dev = jax.lax.axis_index(AXIS)
+        # Local slab cell 0 is global cell dev*c: shift z to global index space.
+        verts = verts.at[..., 2].add((dev * c).astype(verts.dtype))
+        return verts[None], n[None]
+
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(AXIS), P()),
+        out_specs=(P(AXIS), P(AXIS)),
+    )(vol, keep_xy)
+
+
+def mesh_and_march(sdf_c, X, Y, Z, skip, tile, mesh, dtype, chunk_points=2**22):
+    """Sharded volume eval + marching cubes over a device mesh.
+
+    sdf_c: dtype-cast SDF expression pytree.  X/Y/Z: host float64 grid axis
+    coordinates (np.arange semantics, ref sdf/core.py:110-112).  skip:
+    (tx, ty, tz) bool per-tile skip mask (True = cull), from the
+    reference-parity probe test.  Returns (verts, per_tile): verts is a
+    host float64 (3*T, 3) array of vertices in fractional index
+    coordinates; per_tile the global per-tile triangle counts.
+    """
+    ndev = mesh.devices.size
+    nx, ny, nz = len(X), len(Y), len(Z)
+    ncz = nz - 1
+    c = -(-ncz // ndev)  # cells per device slab
+
+    # Device i samples global z indices [i*c, i*c + c]: c+1 samples with a
+    # 1-sample halo (recomputed, not exchanged).  Pad beyond the grid by
+    # repeating the last sample; padded cells are masked off.
+    zidx = np.minimum(
+        np.arange(ndev)[:, None] * c + np.arange(c + 1)[None, :], nz - 1
+    )
+    Zs = Z[zidx]  # (ndev, c+1) host float64
+
+    # Global cell-resolution xy mask, tile-indexed z (expanded on device).
+    keep = ~skip  # (tx, ty, tz_tiles)
+    ncx, ncy = nx - 1, ny - 1
+    keep_xy = np.repeat(np.repeat(keep, tile, axis=0), tile, axis=1)[:ncx, :ncy]
+
+    Xd = jnp.asarray(X, dtype=dtype)
+    Yd = jnp.asarray(Y, dtype=dtype)
+    Zsd = jnp.asarray(Zs, dtype=dtype)
+    keep_d = jnp.asarray(keep_xy)
+
+    vol, totals, per_tile = _phase_count(
+        sdf_c, Xd, Yd, Zsd, keep_d, mesh, c, ncz, tile,
+        keep.shape[2], chunk_points,
+    )
+    totals = np.asarray(totals)
+    nmax = int(totals.max()) if totals.size else 0
+
+    if nmax == 0:
+        return np.zeros((0, 3), dtype=np.float64), np.asarray(per_tile)
+
+    capacity = 1 << (nmax - 1).bit_length()
+    verts, counts = _phase_emit(vol, keep_d, mesh, c, ncz, tile, capacity)
+    counts = np.asarray(counts)
+    verts = np.asarray(verts, dtype=np.float64)
+    out = np.concatenate([verts[i, : counts[i]] for i in range(ndev)], axis=0)
+    return out.reshape(-1, 3), np.asarray(per_tile)
