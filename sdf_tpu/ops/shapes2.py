@@ -24,7 +24,9 @@ UP = Y
 
 
 def _length(a):
-    return jnp.linalg.norm(a, axis=1)
+    # Grad-safe norm (zero, not NaN, at ||a|| == 0); see shapes3._length.
+    sq = jnp.sum(a * a, axis=1)
+    return jnp.where(sq == 0, 0.0, jnp.sqrt(jnp.where(sq == 0, 1.0, sq)))
 
 
 def _normalize(a):
@@ -45,6 +47,19 @@ _max = jnp.maximum
 # Primitives
 
 
+def _mdot(p, m):
+    """``p @ m`` for a big (N, d) array and a tiny vector/matrix; explicit
+    multiply-adds keep it off the MXU (see sdf_tpu.ops.shapes3._mdot)."""
+    m = jnp.asarray(m)
+    cols = p.shape[1]
+    if m.ndim == 1:
+        return sum(p[:, i] * m[i] for i in range(cols))
+    return jnp.stack(
+        [sum(p[:, i] * m[i, j] for i in range(cols)) for j in range(m.shape[1])],
+        axis=-1,
+    )
+
+
 @sdf2
 def circle(radius=1, center=ORIGIN):
     params = {"radius": as_param(radius), "center": as_param(center)}
@@ -63,7 +78,7 @@ def line(normal=UP, point=ORIGIN):
     }
 
     def fn(q, p):
-        return jnp.dot(q["point"] - p, q["normal"])
+        return _mdot(q["point"] - p, q["normal"])
 
     return fn, params
 
@@ -192,7 +207,7 @@ def polygon(points):
             vj = pts[j]
             e = vj - vi
             w = p - vi
-            b = w - e * jnp.clip(jnp.dot(w, e) / jnp.dot(e, e), 0, 1).reshape((-1, 1))
+            b = w - e * jnp.clip(_mdot(w, e) / jnp.dot(e, e), 0, 1).reshape((-1, 1))
             d = _min(d, _dot(b, b))
             c1 = p[:, 1] >= vi[1]
             c2 = p[:, 1] < vj[1]
@@ -256,7 +271,7 @@ def rotate(other, angle):
     params = {"other": other, "matrix": as_param(matrix)}
 
     def fn(q, p):
-        return q["other"](jnp.dot(p, q["matrix"]))
+        return q["other"](_mdot(p, q["matrix"]))
 
     return fn, params
 
@@ -294,7 +309,7 @@ def extrude(other, h):
     params = {"other": other, "h": as_param(h)}
 
     def fn(q, p):
-        d = q["other"](p[:, [0, 1]])
+        d = q["other"](p[:, :2])
         w = _vec(d.reshape(-1), jnp.abs(p[:, 2]) - q["h"] / 2)
         return _min(_max(w[:, 0], w[:, 1]), 0) + _length(_max(w, 0))
 
@@ -306,8 +321,8 @@ def extrude_to(a, b, h, e=ease.linear):
     params = {"a": a, "b": b, "h": as_param(h)}
 
     def fn(q, p):
-        d1 = q["a"](p[:, [0, 1]])
-        d2 = q["b"](p[:, [0, 1]])
+        d1 = q["a"](p[:, :2])
+        d2 = q["b"](p[:, :2])
         t = e(jnp.clip(p[:, 2] / q["h"], -0.5, 0.5) + 0.5)
         d = d1 + (d2 - d1) * t.reshape((-1, 1))
         w = _vec(d.reshape(-1), jnp.abs(p[:, 2]) - q["h"] / 2)
@@ -321,7 +336,7 @@ def revolve(other, offset=0):
     params = {"other": other, "offset": as_param(offset)}
 
     def fn(q, p):
-        xy = p[:, [0, 1]]
+        xy = p[:, :2]
         w = _vec(_length(xy) - q["offset"], p[:, 2])
         return q["other"](w)
 
