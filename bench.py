@@ -5,6 +5,10 @@ examples/example.py model evaluated over the samples=2**22 dense grid
 (162^3 on the estimated bounds).  The reference CPU number is 4.7 M pts/s
 (1 vCPU, float64 numpy, sdf/core.py:45-60 batch loop).
 
+Timing methodology: K back-to-back dispatches with one synchronization at
+the end (per-call block_until_ready through the TPU tunnel does not
+reliably fence, and a single run under-measures pipelined dispatch).
+
 Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
@@ -37,17 +41,17 @@ def main():
     Z = np.arange(z0, z1, step)
     n_points = len(X) * len(Y) * len(Z)
 
-    # Warmup (compile), then best-of-5 timed runs.
+    # Warmup (compile), then K amortized runs with one final sync.
     vol = engine._eval_volume(sdf_c, X, Y, Z, dtype)
     jax.block_until_ready(vol)
-    best = float("inf")
-    for _ in range(5):
-        t0 = time.perf_counter()
+    K = 20
+    t0 = time.perf_counter()
+    for _ in range(K):
         vol = engine._eval_volume(sdf_c, X, Y, Z, dtype)
-        jax.block_until_ready(vol)
-        best = min(best, time.perf_counter() - t0)
+    jax.block_until_ready(vol)
+    dt = (time.perf_counter() - t0) / K
 
-    pts_per_s = n_points / best
+    pts_per_s = n_points / dt
     print(
         json.dumps(
             {

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import mc
+from .node import Points
 
 
 @partial(jax.jit, static_argnames=("capacity", "shape"))
@@ -34,15 +35,8 @@ def _extract(node, grid01, origin, step, capacity, shape):
     X = origin[0] + step[0] * grid01[0][:nx]
     Y = origin[1] + step[1] * grid01[1][:ny]
     Z = origin[2] + step[2] * grid01[2][:nz]
-    p = jnp.stack(
-        [
-            jnp.broadcast_to(X[:, None, None], shape),
-            jnp.broadcast_to(Y[None, :, None], shape),
-            jnp.broadcast_to(Z[None, None, :], shape),
-        ],
-        axis=-1,
-    ).reshape(-1, 3)
-    vol = node(p).reshape(shape)
+    p = Points(X[:, None, None], Y[None, :, None], Z[None, None, :])
+    vol = jnp.broadcast_to(node(p), shape)
     keep = jnp.ones((nx - 1, ny - 1, nz - 1), dtype=bool)
     verts, n = mc.emit(vol, keep, capacity)
     world = verts * step[None, None, :] + origin[None, None, :]

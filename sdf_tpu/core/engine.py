@@ -31,7 +31,7 @@ import numpy as np
 from ..utils import progress
 from ..io import stl
 from . import mc
-from .node import cast
+from .node import Points, cast
 
 WORKERS = len(jax.devices())
 SAMPLES = 2**22
@@ -69,19 +69,11 @@ def _eval_volume_jit(sdf, X, Y, Z, nchunks):
     Zc = Z.reshape(nchunks, -1)
 
     def slab(zc):
-        px = X[:, None, None]
-        py = Y[None, :, None]
-        pz = zc[None, None, :]
+        # SoA evaluation: coordinates stay three broadcast views; XLA fuses
+        # the whole expression without ever materializing an (N, 3) array.
         shape = (nx, ny, zc.shape[0])
-        p = jnp.stack(
-            [
-                jnp.broadcast_to(px, shape),
-                jnp.broadcast_to(py, shape),
-                jnp.broadcast_to(pz, shape),
-            ],
-            axis=-1,
-        ).reshape(-1, 3)
-        return sdf(p).reshape(shape)
+        p = Points(X[:, None, None], Y[None, :, None], zc[None, None, :])
+        return jnp.broadcast_to(sdf(p), shape)
 
     vols = jax.lax.map(slab, Zc)  # (nchunks, nx, ny, sz)
     return jnp.moveaxis(vols, 0, 2).reshape(nx, ny, Z.shape[0])

@@ -39,7 +39,122 @@ from __future__ import annotations
 import functools
 
 import jax
+import jax.numpy as jnp
 import numpy as np
+
+
+class Points:
+    """Structure-of-arrays point batch: one array per coordinate component.
+
+    TPU arrays tile their minor dimension onto 128 vector lanes, so a
+    materialized ``(N, 3)`` point array pads 3 -> 128 lanes: ~40x wasted
+    HBM traffic and VPU work for every intermediate (measured ~30x memory
+    amplification on the example model).  All internal SDF evaluation
+    therefore flows component-wise: a ``Points`` holds ``dim`` separately
+    shaped, mutually *broadcastable* arrays (e.g. the grid engine passes
+    ``(nx,1,1), (1,ny,1), (1,1,nz)`` views and XLA fuses the whole
+    expression without materializing coordinates at all).  The public
+    ``(N, dim) -> (N, 1)`` call contract of the reference is preserved at
+    the ``_Node.__call__`` boundary, which converts arrays to ``Points``
+    on the way in and broadcasts/reshapes the distance on the way out.
+    """
+
+    __slots__ = ("c",)
+
+    # Make numpy/jax arrays defer binary ops to Points (so ``vec - points``
+    # hits __rsub__ instead of ndarray's elementwise object broadcast).
+    __array_ufunc__ = None
+    __array_priority__ = 1000
+
+    def __init__(self, *c):
+        self.c = tuple(c)
+
+    @property
+    def dim(self):
+        return len(self.c)
+
+    @property
+    def bshape(self):
+        return jnp.broadcast_shapes(*[jnp.shape(x) for x in self.c])
+
+    @classmethod
+    def from_array(cls, p):
+        return cls(*[p[..., i] for i in range(p.shape[-1])])
+
+    # --- component access: supports p[i], p[:, i] and p[:, :k] styles ----
+    def __getitem__(self, key):
+        if isinstance(key, tuple) and len(key) == 2:
+            key = key[1]
+        if isinstance(key, slice):
+            return Points(*self.c[key])
+        return self.c[key]
+
+    def __iter__(self):
+        return iter(self.c)
+
+    # --- elementwise arithmetic -----------------------------------------
+    def _coerce(self, other):
+        """Other as a per-component sequence: Points, (dim,) vector, scalar."""
+        if isinstance(other, Points):
+            return other.c
+        shape = jnp.shape(other)
+        if len(shape) == 1 and shape[0] == self.dim:
+            # A (dim,) parameter vector: one entry per component.
+            return tuple(other[i] for i in range(self.dim))
+        # Scalar or field array: broadcast the same value into every
+        # component (the AoS analog is an (N, 1) column against (N, dim)).
+        return (other,) * self.dim
+
+    def _bin(self, other, op):
+        oc = self._coerce(other)
+        return Points(*[op(a, b) for a, b in zip(self.c, oc)])
+
+    def __add__(self, o):
+        return self._bin(o, lambda a, b: a + b)
+
+    __radd__ = __add__
+
+    def __sub__(self, o):
+        return self._bin(o, lambda a, b: a - b)
+
+    def __rsub__(self, o):
+        return self._bin(o, lambda a, b: b - a)
+
+    def __mul__(self, o):
+        return self._bin(o, lambda a, b: a * b)
+
+    __rmul__ = __mul__
+
+    def __truediv__(self, o):
+        return self._bin(o, lambda a, b: a / b)
+
+    def __neg__(self):
+        return Points(*[-a for a in self.c])
+
+    def __abs__(self):
+        return Points(*[jnp.abs(a) for a in self.c])
+
+    # --- reductions across components -----------------------------------
+    def hmax(self):
+        """Max across components (the ``amax(axis=1)`` of AoS code)."""
+        return functools.reduce(jnp.maximum, self.c)
+
+    def hmin(self):
+        return functools.reduce(jnp.minimum, self.c)
+
+    def hsum(self):
+        return functools.reduce(lambda a, b: a + b, self.c)
+
+
+def pointwise(fn):
+    """Lift a jnp elementwise function over Points (or pass arrays through)."""
+
+    def apply(x, *args, **kwargs):
+        if isinstance(x, Points):
+            return Points(*[fn(c, *args, **kwargs) for c in x.c])
+        return fn(x, *args, **kwargs)
+
+    return apply
 
 
 def as_param(value, dtype=np.float64):
@@ -71,8 +186,15 @@ class _Node:
 
     # --- evaluation ------------------------------------------------------
     def __call__(self, p):
-        # (N, dim) -> (N, 1), matching ref sdf/d3.py:24-25 / sdf/d2.py:23-24.
-        return self.fn(self.params, p).reshape((-1, 1))
+        # Internal SoA path: Points in -> raw broadcast-shaped distances out
+        # (no reshapes; the whole tree stays fused component-wise).
+        if isinstance(p, Points):
+            return self.fn(self.params, p)
+        # Public contract: (N, dim) -> (N, 1), matching ref sdf/d3.py:24-25.
+        p = jnp.asarray(p)
+        pts = Points.from_array(p)
+        d = self.fn(self.params, pts)
+        return jnp.broadcast_to(d, pts.bshape).reshape((-1, 1))
 
     # --- smooth-k tag (ref sdf/d3.py:38-40) ------------------------------
     def k(self, k=None):

@@ -167,18 +167,35 @@ def repeat(other, spacing, count=None, padding=0):
         return list(itertools.product(*axes))
 
     def fn(q, p):
-        dim = p.shape[-1]
-        spacing_ = q["spacing"]
+        from ..core.node import Points
+
+        dim = p.dim
         nonzero = np.broadcast_to(spacing_np != 0, (dim,))
-        safe = jnp.where(nonzero, spacing_, 1.0)
-        tile = jnp.where(nonzero, p / safe, 0.0)
-        index = jnp.round(tile)
+        sp = jnp.broadcast_to(jnp.asarray(q["spacing"]), (dim,))
         if q["count"] is not None:
-            index = jnp.clip(index, -q["count"], q["count"])
-        ds = [
-            q["other"](p - spacing_ * (index + np.array(n, dtype=np.float64)))
-            for n in _neighbors(dim)
-        ]
+            cnt = jnp.broadcast_to(jnp.asarray(q["count"]), (dim,))
+        # Per-axis tile index (componentwise: axes with zero spacing are
+        # disabled, ref sdf/dn.py:102-106).
+        index = []
+        for i in range(dim):
+            if not nonzero[i]:
+                index.append(None)
+                continue
+            idx = jnp.round(p.c[i] / sp[i])
+            if q["count"] is not None:
+                idx = jnp.clip(idx, -cnt[i], cnt[i])
+            index.append(idx)
+        ds = []
+        for n in _neighbors(dim):
+            shifted = Points(
+                *[
+                    p.c[i]
+                    if index[i] is None
+                    else p.c[i] - sp[i] * (index[i] + n[i])
+                    for i in range(dim)
+                ]
+            )
+            ds.append(q["other"](shifted))
         a = ds[0]
         for b in ds[1:]:
             a = jnp.minimum(a, b)

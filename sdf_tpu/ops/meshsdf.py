@@ -226,7 +226,7 @@ class Mesh:
             # Cheap box gate (ref sdf/mesh.py:102-105), then trilinear fetch.
             e = q["estimator"](p)
             d = _trilinear(q["grid"], (p - q["origin"]) / q["voxel"], q["background"])
-            return jnp.where(e.reshape(-1) > q["background"], e.reshape(-1), d)
+            return jnp.where(e > q["background"], e, d)
 
         # Attribute fall-through contract (ref sdf/mesh.py:107-111).
         fn.array = A
@@ -243,18 +243,19 @@ def _trilinear(grid, idx, fill):
     semantics with bounds_error=False, ref sdf/mesh.py:96-97).
     """
     nx, ny, nz = grid.shape
+    ix, iy, iz = idx.c  # SoA: broadcastable component arrays
     inside = (
-        (idx[:, 0] >= 0)
-        & (idx[:, 0] <= nx - 1)
-        & (idx[:, 1] >= 0)
-        & (idx[:, 1] <= ny - 1)
-        & (idx[:, 2] >= 0)
-        & (idx[:, 2] <= nz - 1)
+        (ix >= 0)
+        & (ix <= nx - 1)
+        & (iy >= 0)
+        & (iy <= ny - 1)
+        & (iz >= 0)
+        & (iz <= nz - 1)
     )
-    i0 = jnp.clip(jnp.floor(idx).astype(jnp.int32), 0, jnp.array([nx - 2, ny - 2, nz - 2]))
-    f = idx - i0
-    x0, y0, z0 = i0[:, 0], i0[:, 1], i0[:, 2]
-    fx, fy, fz = f[:, 0], f[:, 1], f[:, 2]
+    x0 = jnp.clip(jnp.floor(ix).astype(jnp.int32), 0, nx - 2)
+    y0 = jnp.clip(jnp.floor(iy).astype(jnp.int32), 0, ny - 2)
+    z0 = jnp.clip(jnp.floor(iz).astype(jnp.int32), 0, nz - 2)
+    fx, fy, fz = ix - x0, iy - y0, iz - z0
 
     def g(dx, dy, dz):
         return grid[x0 + dx, y0 + dy, z0 + dz]

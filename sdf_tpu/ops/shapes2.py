@@ -1,6 +1,7 @@
 """2D primitives, positioning ops and 2D->3D lifts (parity: ref sdf/d2.py).
 
-Same pytree-node design as shapes3; see that module's docstring.
+Same pytree-node + structure-of-arrays design as shapes3; see that module's
+docstring.
 """
 
 from __future__ import annotations
@@ -8,7 +9,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.node import SDF2, as_param, op2, op23, sdf2
+from ..core.node import SDF2, Points, as_param, op2, op23, sdf2
 from . import csg, easing as ease
 
 # Constants (ref sdf/d2.py:9-14)
@@ -25,7 +26,7 @@ UP = Y
 
 def _length(a):
     # Grad-safe norm (zero, not NaN, at ||a|| == 0); see shapes3._length.
-    sq = jnp.sum(a * a, axis=1)
+    sq = sum(c * c for c in a.c)
     return jnp.where(sq == 0, 0.0, jnp.sqrt(jnp.where(sq == 0, 1.0, sq)))
 
 
@@ -34,30 +35,38 @@ def _normalize(a):
 
 
 def _dot(a, b):
-    return jnp.sum(a * b, axis=1)
+    return sum(x * y for x, y in zip(a.c, b.c))
 
 
-def _vec(*arrs):
-    return jnp.stack(arrs, axis=-1)
+def _mdot(p, m):
+    """``p @ m`` for Points and a tiny vector/matrix without an MXU matmul
+    (see sdf_tpu.ops.shapes3._mdot)."""
+    m = jnp.asarray(m)
+    if m.ndim == 1:
+        return sum(c * m[i] for i, c in enumerate(p.c))
+    return Points(
+        *[sum(c * m[i, j] for i, c in enumerate(p.c)) for j in range(m.shape[1])]
+    )
 
+
+def _vmul(v, s):
+    v = jnp.asarray(v)
+    return Points(*[v[i] * s for i in range(v.shape[0])])
+
+
+_vec = Points
 
 _min = jnp.minimum
 _max = jnp.maximum
 
+
+def _pmax(a, b):
+    if isinstance(b, Points):
+        return Points(*[jnp.maximum(x, y) for x, y in zip(a.c, b.c)])
+    return Points(*[jnp.maximum(x, b) for x in a.c])
+
+
 # Primitives
-
-
-def _mdot(p, m):
-    """``p @ m`` for a big (N, d) array and a tiny vector/matrix; explicit
-    multiply-adds keep it off the MXU (see sdf_tpu.ops.shapes3._mdot)."""
-    m = jnp.asarray(m)
-    cols = p.shape[1]
-    if m.ndim == 1:
-        return sum(p[:, i] * m[i] for i in range(cols))
-    return jnp.stack(
-        [sum(p[:, i] * m[i, j] for i in range(cols)) for j in range(m.shape[1])],
-        axis=-1,
-    )
 
 
 @sdf2
@@ -108,8 +117,8 @@ def rectangle(size=1, center=ORIGIN, a=None, b=None):
     params = {"size": as_param(size), "center": as_param(center)}
 
     def fn(q, p):
-        d = jnp.abs(p - q["center"]) - q["size"] / 2
-        return _length(_max(d, 0)) + _min(jnp.amax(d, axis=1), 0)
+        d = abs(p - q["center"]) - jnp.asarray(q["size"]) / 2
+        return _length(_pmax(d, 0)) + _min(d.hmax(), 0)
 
     return fn, params
 
@@ -127,8 +136,7 @@ def rounded_rectangle(size, radius, center=ORIGIN):
     }
 
     def fn(q, p):
-        x = p[:, 0]
-        y = p[:, 1]
+        x, y = p.c
         r0_, r1_, r2_, r3_ = q["r"]
         # Per-quadrant corner radius (ref sdf/d2.py:122-129 uses boolean
         # assignment; jnp.where is the traced equivalent).
@@ -136,13 +144,9 @@ def rounded_rectangle(size, radius, center=ORIGIN):
             x > 0,
             jnp.where(y > 0, r0_, r1_),
             jnp.where(y <= 0, r2_, r3_),
-        ).reshape((-1, 1))
-        d = jnp.abs(p) - q["size"] / 2 + r
-        return (
-            _min(_max(d[:, 0], d[:, 1]), 0).reshape((-1, 1))
-            + _length(_max(d, 0)).reshape((-1, 1))
-            - r
         )
+        d = abs(p) - jnp.asarray(q["size"]) / 2 + r
+        return _min(_max(d.c[0], d.c[1]), 0) + _length(_pmax(d, 0)) - r
 
     return fn, params
 
@@ -151,12 +155,13 @@ def rounded_rectangle(size, radius, center=ORIGIN):
 def equilateral_triangle():
     def fn(q, p):
         k = 3**0.5
-        p = _vec(jnp.abs(p[:, 0]) - 1, p[:, 1] + 1 / k)
-        w = p[:, 0] + k * p[:, 1] > 0
-        v = _vec(p[:, 0] - k * p[:, 1], -k * p[:, 0] - p[:, 1]) / 2
-        p = jnp.where(w.reshape((-1, 1)), v, p)
-        p = _vec(p[:, 0] - jnp.clip(p[:, 0], -2, 0), p[:, 1])
-        return -_length(p) * jnp.sign(p[:, 1])
+        p = _vec(jnp.abs(p.c[0]) - 1, p.c[1] + 1 / k)
+        w = p.c[0] + k * p.c[1] > 0
+        vx = (p.c[0] - k * p.c[1]) / 2
+        vy = (-k * p.c[0] - p.c[1]) / 2
+        p = _vec(jnp.where(w, vx, p.c[0]), jnp.where(w, vy, p.c[1]))
+        p = _vec(p.c[0] - jnp.clip(p.c[0], -2, 0), p.c[1])
+        return -_length(p) * jnp.sign(p.c[1])
 
     return fn, {}
 
@@ -168,13 +173,14 @@ def hexagon(r):
     def fn(q, p):
         r_ = q["r"]
         k = np.array((3**0.5 / -2, 0.5, np.tan(np.pi / 6)))
-        p = jnp.abs(p)
-        p -= 2 * k[:2] * _min(_dot(k[:2], p), 0).reshape((-1, 1))
-        p -= _vec(
-            jnp.clip(p[:, 0], -k[2] * r_, k[2] * r_),
-            jnp.zeros_like(p[:, 0]) + r_,
+        p = abs(p)
+        m = _min(k[0] * p.c[0] + k[1] * p.c[1], 0)
+        p = _vec(p.c[0] - 2 * k[0] * m, p.c[1] - 2 * k[1] * m)
+        p = _vec(
+            p.c[0] - jnp.clip(p.c[0], -k[2] * r_, k[2] * r_),
+            p.c[1] - r_,
         )
-        return _length(p) * jnp.sign(p[:, 1])
+        return _length(p) * jnp.sign(p.c[1])
 
     return fn, params
 
@@ -184,8 +190,8 @@ def rounded_x(w, r):
     params = {"w": as_param(w), "r": as_param(r)}
 
     def fn(q, p):
-        p = jnp.abs(p)
-        d = (_min(p[:, 0] + p[:, 1], q["w"]) * 0.5).reshape((-1, 1))
+        p = abs(p)
+        d = _min(p.c[0] + p.c[1], q["w"]) * 0.5
         return _length(p - d) - q["r"]
 
     return fn, params
@@ -199,21 +205,22 @@ def polygon(points):
     def fn(q, p):
         pts = q["points"]
         n = len(pts)
-        d = _dot(p - pts[0], p - pts[0])
-        s = jnp.ones(p.shape[0])
+        p0 = p - pts[0]
+        d = _dot(p0, p0)
+        s = jnp.ones(())
         for i in range(n):
             j = (i + n - 1) % n
             vi = pts[i]
             vj = pts[j]
             e = vj - vi
             w = p - vi
-            b = w - e * jnp.clip(_mdot(w, e) / jnp.dot(e, e), 0, 1).reshape((-1, 1))
+            t = jnp.clip(_mdot(w, e) / jnp.dot(e, e), 0, 1)
+            b = w - _vmul(e, t)
             d = _min(d, _dot(b, b))
-            c1 = p[:, 1] >= vi[1]
-            c2 = p[:, 1] < vj[1]
-            c3 = e[0] * w[:, 1] > e[1] * w[:, 0]
-            c = _vec(c1, c2, c3)
-            s = jnp.where(jnp.all(c, axis=1) | jnp.all(~c, axis=1), -s, s)
+            c1 = p.c[1] >= vi[1]
+            c2 = p.c[1] < vj[1]
+            c3 = e[0] * w.c[1] > e[1] * w.c[0]
+            s = jnp.where((c1 & c2 & c3) | (~c1 & ~c2 & ~c3), -s, s)
         return s * jnp.sqrt(d)
 
     return fn, params
@@ -225,12 +232,12 @@ def vesica(r, d):
 
     def fn(q, p):
         r_, d_ = q["r"], q["d"]
-        p = jnp.abs(p)
+        p = abs(p)
         b = jnp.sqrt(r_ * r_ - d_ * d_)
         return jnp.where(
-            (p[:, 1] - b) * d_ > p[:, 0] * b,
-            _length(p - _vec(jnp.zeros_like(b), b)),
-            _length(p - _vec(-d_, jnp.zeros_like(d_))) - r_,
+            (p.c[1] - b) * d_ > p.c[0] * b,
+            _length(_vec(p.c[0], p.c[1] - b)),
+            _length(_vec(p.c[0] + d_, p.c[1])) - r_,
         )
 
     return fn, params
@@ -292,11 +299,10 @@ def elongate(other, size):
     params = {"other": other, "size": as_param(size)}
 
     def fn(q, p):
-        d = jnp.abs(p) - q["size"]
-        x = d[:, 0].reshape((-1, 1))
-        y = d[:, 1].reshape((-1, 1))
+        d = abs(p) - q["size"]
+        x, y = d.c
         w = _min(_max(x, y), 0)
-        return q["other"](_max(d, 0)) + w
+        return q["other"](_pmax(d, 0)) + w
 
     return fn, params
 
@@ -310,8 +316,8 @@ def extrude(other, h):
 
     def fn(q, p):
         d = q["other"](p[:, :2])
-        w = _vec(d.reshape(-1), jnp.abs(p[:, 2]) - q["h"] / 2)
-        return _min(_max(w[:, 0], w[:, 1]), 0) + _length(_max(w, 0))
+        w = _vec(d, jnp.abs(p.c[2]) - q["h"] / 2)
+        return _min(_max(w.c[0], w.c[1]), 0) + _length(_pmax(w, 0))
 
     return fn, params
 
@@ -323,10 +329,10 @@ def extrude_to(a, b, h, e=ease.linear):
     def fn(q, p):
         d1 = q["a"](p[:, :2])
         d2 = q["b"](p[:, :2])
-        t = e(jnp.clip(p[:, 2] / q["h"], -0.5, 0.5) + 0.5)
-        d = d1 + (d2 - d1) * t.reshape((-1, 1))
-        w = _vec(d.reshape(-1), jnp.abs(p[:, 2]) - q["h"] / 2)
-        return _min(_max(w[:, 0], w[:, 1]), 0) + _length(_max(w, 0))
+        t = e(jnp.clip(p.c[2] / q["h"], -0.5, 0.5) + 0.5)
+        d = d1 + (d2 - d1) * t
+        w = _vec(d, jnp.abs(p.c[2]) - q["h"] / 2)
+        return _min(_max(w.c[0], w.c[1]), 0) + _length(_pmax(w, 0))
 
     return fn, params
 
@@ -336,8 +342,7 @@ def revolve(other, offset=0):
     params = {"other": other, "offset": as_param(offset)}
 
     def fn(q, p):
-        xy = p[:, :2]
-        w = _vec(_length(xy) - q["offset"], p[:, 2])
+        w = _vec(_length(p[:, :2]) - q["offset"], p.c[2])
         return q["other"](w)
 
     return fn, params

@@ -7,8 +7,11 @@ branch decisions) is static.  Construction-time math (rotation matrices,
 normalization) runs in float64 numpy exactly like the reference; evaluation
 math is jax.numpy and fuses under jit.
 
-Shape-flow conventions follow the reference exactly: raw formulas return
-``(N,)``, wrapped child nodes return ``(N, 1)`` columns (SURVEY.md 2.4.1).
+Evaluation is structure-of-arrays: ``p`` is a ``Points`` of three
+separately-shaped broadcastable component arrays (see core.node.Points for
+the TPU layout rationale), and distances are raw broadcast-shaped arrays.
+The reference's ``(N, 3) -> (N, 1)`` contract (SURVEY.md 2.4.1) lives at
+the public ``SDF3.__call__`` boundary.
 """
 
 from __future__ import annotations
@@ -16,7 +19,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.node import SDF3, as_param, op3, op32, sdf3
+from ..core.node import SDF3, Points, as_param, op3, op32, sdf3
 from . import csg, easing as ease
 
 # Constants (ref sdf/d3.py:9-15)
@@ -33,11 +36,11 @@ UP = Z
 
 
 def _length(a):
-    # Double-where safe norm: value-identical to jnp.linalg.norm, but the
-    # gradient at ||a|| == 0 is 0 instead of NaN (interior points of box-like
-    # shapes evaluate _length(max(d, 0)) at exactly 0, so the naive sqrt
-    # would poison every parameter gradient under jax.grad).
-    sq = jnp.sum(a * a, axis=1)
+    # Double-where safe norm over Points components: value-identical to a
+    # euclidean norm, but the gradient at ||a|| == 0 is 0 instead of NaN
+    # (interior points of box-like shapes evaluate _length(max(d, 0)) at
+    # exactly 0, which would poison parameter gradients under jax.grad).
+    sq = sum(c * c for c in a.c)
     return jnp.where(sq == 0, 0.0, jnp.sqrt(jnp.where(sq == 0, 1.0, sq)))
 
 
@@ -46,29 +49,28 @@ def _normalize(a):
 
 
 def _dot(a, b):
-    return jnp.sum(a * b, axis=1)
+    return sum(x * y for x, y in zip(a.c, b.c))
 
 
 def _mdot(p, m):
-    """``p @ m`` for a big (N, d) point array and a tiny vector/matrix.
-
-    Written as explicit per-component multiply-adds so XLA keeps it on the
-    VPU and fuses it with neighbors -- ``jnp.dot`` would emit a dot_general
-    whose size-2/3 contraction pads onto the 128-wide MXU (~40x wasted
-    work per point on TPU; measured ~100x slowdown on the example model).
-    """
+    """``p @ m`` for Points and a tiny vector/matrix, as explicit
+    multiply-adds (a dot_general's size-3 contraction would pad onto the
+    128-wide MXU: ~40x wasted work per point on TPU)."""
     m = jnp.asarray(m)
-    cols = p.shape[1]
     if m.ndim == 1:
-        return sum(p[:, i] * m[i] for i in range(cols))
-    return jnp.stack(
-        [sum(p[:, i] * m[i, j] for i in range(cols)) for j in range(m.shape[1])],
-        axis=-1,
+        return sum(c * m[i] for i, c in enumerate(p.c))
+    return Points(
+        *[sum(c * m[i, j] for i, c in enumerate(p.c)) for j in range(m.shape[1])]
     )
 
 
-def _vec(*arrs):
-    return jnp.stack(arrs, axis=-1)
+def _vmul(v, s):
+    """Per-component product of a tiny (d,) vector with a field array ``s``."""
+    v = jnp.asarray(v)
+    return Points(*[v[i] * s for i in range(v.shape[0])])
+
+
+_vec = Points
 
 
 def _perpendicular(v):
@@ -81,6 +83,14 @@ def _perpendicular(v):
 
 _min = jnp.minimum
 _max = jnp.maximum
+
+
+def _pmax(a, b):
+    """Componentwise maximum of Points against a scalar/vector."""
+    if isinstance(b, Points):
+        return Points(*[jnp.maximum(x, y) for x, y in zip(a.c, b.c)])
+    return Points(*[jnp.maximum(x, b) for x in a.c])
+
 
 # Primitives
 
@@ -135,8 +145,8 @@ def box(size=1, center=ORIGIN, a=None, b=None):
     params = {"size": as_param(size), "center": as_param(center)}
 
     def fn(q, p):
-        d = jnp.abs(p - q["center"]) - q["size"] / 2
-        return _length(_max(d, 0)) + _min(jnp.amax(d, axis=1), 0)
+        d = abs(p - q["center"]) - jnp.asarray(q["size"]) / 2
+        return _length(_pmax(d, 0)) + _min(d.hmax(), 0)
 
     return fn, params
 
@@ -146,8 +156,8 @@ def rounded_box(size, radius):
     params = {"size": as_param(size), "radius": as_param(radius)}
 
     def fn(q, p):
-        d = jnp.abs(p) - q["size"] / 2 + q["radius"]
-        return _length(_max(d, 0)) + _min(jnp.amax(d, axis=1), 0) - q["radius"]
+        d = abs(p) - jnp.asarray(q["size"]) / 2 + q["radius"]
+        return _length(_pmax(d, 0)) + _min(d.hmax(), 0) - q["radius"]
 
     return fn, params
 
@@ -157,14 +167,14 @@ def wireframe_box(size, thickness):
     params = {"size": as_param(size), "thickness": as_param(thickness)}
 
     def g(a, b, c):
-        return _length(_max(_vec(a, b, c), 0)) + _min(_max(a, _max(b, c)), 0)
+        return _length(_pmax(_vec(a, b, c), 0)) + _min(_max(a, _max(b, c)), 0)
 
     def fn(q, p):
         thickness = q["thickness"]
-        p = jnp.abs(p) - q["size"] / 2 - thickness / 2
-        d = jnp.abs(p + thickness / 2) - thickness / 2
-        px, py, pz = p[:, 0], p[:, 1], p[:, 2]
-        qx, qy, qz = d[:, 0], d[:, 1], d[:, 2]
+        p = abs(p) - jnp.asarray(q["size"]) / 2 - thickness / 2
+        d = abs(p + thickness / 2) - thickness / 2
+        px, py, pz = p.c
+        qx, qy, qz = d.c
         return _min(_min(g(px, qy, qz), g(qx, py, qz)), g(qx, qy, pz))
 
     return fn, params
@@ -175,10 +185,8 @@ def torus(r1, r2):
     params = {"r1": as_param(r1), "r2": as_param(r2)}
 
     def fn(q, p):
-        xy = p[:, :2]
-        z = p[:, 2]
-        a = _length(xy) - q["r1"]
-        return _length(_vec(a, z)) - q["r2"]
+        a = _length(p[:, :2]) - q["r1"]
+        return _length(_vec(a, p[:, 2])) - q["r2"]
 
     return fn, params
 
@@ -190,8 +198,8 @@ def capsule(a, b, radius):
     def fn(q, p):
         pa = p - q["a"]
         ba = q["b"] - q["a"]
-        h = jnp.clip(_mdot(pa, ba) / jnp.dot(ba, ba), 0, 1).reshape((-1, 1))
-        return _length(pa - ba * h) - q["radius"]
+        h = jnp.clip(_mdot(pa, ba) / jnp.dot(ba, ba), 0, 1)
+        return _length(pa - _vmul(ba, h)) - q["radius"]
 
     return fn, params
 
@@ -214,11 +222,9 @@ def capped_cylinder(a, b, radius):
         ba = q["b"] - q["a"]
         pa = p - q["a"]
         baba = jnp.dot(ba, ba)
-        paba = _mdot(pa, ba).reshape((-1, 1))
-        x = _length(pa * baba - ba * paba) - q["radius"] * baba
+        paba = _mdot(pa, ba)
+        x = _length(pa * baba - _vmul(ba, paba)) - q["radius"] * baba
         y = jnp.abs(paba - baba * 0.5) - baba * 0.5
-        x = x.reshape((-1, 1))
-        y = y.reshape((-1, 1))
         x2 = x * x
         y2 = y * y * baba
         d = jnp.where(
@@ -240,7 +246,7 @@ def rounded_cylinder(ra, rb, h):
             _length(p[:, :2]) - q["ra"] + q["rb"],
             jnp.abs(p[:, 2]) - q["h"] / 2 + q["rb"],
         )
-        return _min(_max(d[:, 0], d[:, 1]), 0) + _length(_max(d, 0)) - q["rb"]
+        return _min(_max(d.c[0], d.c[1]), 0) + _length(_pmax(d, 0)) - q["rb"]
 
     return fn, params
 
@@ -258,8 +264,9 @@ def capped_cone(a, b, ra, rb):
         a_, b_, ra_, rb_ = q["a"], q["b"], q["ra"], q["rb"]
         rba = rb_ - ra_
         baba = jnp.dot(b_ - a_, b_ - a_)
-        papa = _dot(p - a_, p - a_)
-        paba = _mdot(p - a_, b_ - a_) / baba
+        pa = p - a_
+        papa = _dot(pa, pa)
+        paba = _mdot(pa, b_ - a_) / baba
         # max(., 0) guards the f32 sqrt against tiny negative round-off;
         # the exact value is >= 0.
         x = jnp.sqrt(_max(papa - paba * paba * baba, 0))
@@ -286,10 +293,10 @@ def rounded_cone(r1, r2, h):
         d = _vec(_length(p[:, :2]), p[:, 2])
         b = (r1_ - r2_) / h_
         a = jnp.sqrt(_max(1 - b * b, 0))
-        k = _mdot(d, _vec(-b, a))
+        k = d.c[0] * -b + d.c[1] * a
         c1 = _length(d) - r1_
-        c2 = _length(d - _vec(jnp.zeros_like(h_), h_)) - r2_
-        c3 = _mdot(d, _vec(a, b)) - r1_
+        c2 = _length(_vec(d.c[0], d.c[1] - h_)) - r2_
+        c3 = d.c[0] * a + d.c[1] * b - r1_
         return jnp.where(k < 0, c1, jnp.where(k > a * h_, c2, c3))
 
     return fn, params
@@ -302,7 +309,7 @@ def ellipsoid(size):
     params = {"size": as_param(size)}
 
     def fn(q, p):
-        size_ = q["size"]
+        size_ = jnp.asarray(q["size"])
         k0 = _length(p / size_)
         k1 = _length(p / (size_ * size_))
         return k0 * (k0 - 1) / k1
@@ -316,11 +323,11 @@ def pyramid(h):
 
     def fn(q, p):
         h_ = q["h"]
-        a = jnp.abs(p[:, :2]) - 0.5
-        w = a[:, 1] > a[:, 0]
+        a = abs(p[:, :2]) - 0.5
+        w = a.c[1] > a.c[0]
         # Row-wise coordinate swap where w (ref does in-place fancy indexing).
-        ax = jnp.where(w, a[:, 1], a[:, 0])
-        az = jnp.where(w, a[:, 0], a[:, 1])
+        ax = jnp.where(w, a.c[1], a.c[0])
+        az = jnp.where(w, a.c[0], a.c[1])
         px = ax
         py = p[:, 2]
         pz = az
@@ -346,9 +353,7 @@ def tetrahedron(r):
     params = {"r": as_param(r)}
 
     def fn(q, p):
-        x = p[:, 0]
-        y = p[:, 1]
-        z = p[:, 2]
+        x, y, z = p.c
         return (_max(jnp.abs(x + y) - z, jnp.abs(x - y) + z) - q["r"]) / np.sqrt(3)
 
     return fn, params
@@ -359,7 +364,7 @@ def octahedron(r):
     params = {"r": as_param(r)}
 
     def fn(q, p):
-        return (jnp.sum(jnp.abs(p), axis=1) - q["r"]) * np.tan(np.radians(30))
+        return (abs(p).hsum() - q["r"]) * np.tan(np.radians(30))
 
     return fn, params
 
@@ -371,7 +376,7 @@ def dodecahedron(r):
 
     def fn(q, p):
         r_ = q["r"]
-        p = jnp.abs(p / r_)
+        p = abs(p / r_)
         a = _mdot(p, np.array((x, y, z)))
         b = _mdot(p, np.array((z, x, y)))
         c = _mdot(p, np.array((y, z, x)))
@@ -389,7 +394,7 @@ def icosahedron(r):
 
     def fn(q, p):
         r_ = q["r"]
-        p = jnp.abs(p / r_)
+        p = abs(p / r_)
         a = _mdot(p, np.array((x, y, z)))
         b = _mdot(p, np.array((z, x, y)))
         c = _mdot(p, np.array((y, z, x)))
@@ -481,9 +486,7 @@ def circular_array(other, count, offset=0):
     params = {"other": other}
 
     def fn(q, p):
-        x = p[:, 0]
-        y = p[:, 1]
-        z = p[:, 2]
+        x, y, z = p.c
         d = jnp.hypot(x, y)
         a = jnp.arctan2(y, x) % da
         d1 = q["other"](_vec(jnp.cos(a - da) * d, jnp.sin(a - da) * d, z))
@@ -501,12 +504,10 @@ def elongate(other, size):
     params = {"other": other, "size": as_param(size)}
 
     def fn(q, p):
-        d = jnp.abs(p) - q["size"]
-        x = d[:, 0].reshape((-1, 1))
-        y = d[:, 1].reshape((-1, 1))
-        z = d[:, 2].reshape((-1, 1))
+        d = abs(p) - q["size"]
+        x, y, z = d.c
         w = _min(_max(x, _max(y, z)), 0)
-        return q["other"](_max(d, 0)) + w
+        return q["other"](_pmax(d, 0)) + w
 
     return fn, params
 
@@ -516,9 +517,7 @@ def twist(other, k):
     params = {"other": other, "k": as_param(k)}
 
     def fn(q, p):
-        x = p[:, 0]
-        y = p[:, 1]
-        z = p[:, 2]
+        x, y, z = p.c
         c = jnp.cos(q["k"] * z)
         s = jnp.sin(q["k"] * z)
         x2 = c * x - s * y
@@ -533,9 +532,7 @@ def bend(other, k):
     params = {"other": other, "k": as_param(k)}
 
     def fn(q, p):
-        x = p[:, 0]
-        y = p[:, 1]
-        z = p[:, 2]
+        x, y, z = p.c
         c = jnp.cos(q["k"] * x)
         s = jnp.sin(q["k"] * x)
         x2 = c * x - s * y
@@ -557,8 +554,7 @@ def bend_linear(other, p0, p1, v, e=ease.linear):
     def fn(q, p):
         ab = q["ab"]
         t = jnp.clip(_mdot(p - q["p0"], ab) / jnp.dot(ab, ab), 0, 1)
-        t = e(t).reshape((-1, 1))
-        return q["other"](p + t * q["v"])
+        return q["other"](p + _vmul(q["v"], e(t)))
 
     return fn, params
 
@@ -568,9 +564,7 @@ def bend_radial(other, r0, r1, dz, e=ease.linear):
     params = {"other": other, "r0": as_param(r0), "r1": as_param(r1), "dz": as_param(dz)}
 
     def fn(q, p):
-        x = p[:, 0]
-        y = p[:, 1]
-        z = p[:, 2]
+        x, y, z = p.c
         r = jnp.hypot(x, y)
         t = jnp.clip((r - q["r0"]) / (q["r1"] - q["r0"]), 0, 1)
         z = z - q["dz"] * e(t)
@@ -593,7 +587,7 @@ def transition_linear(f0, f1, p0=-Z, p1=Z, e=ease.linear):
         d2 = q["f1"](p)
         ab = q["ab"]
         t = jnp.clip(_mdot(p - q["p0"], ab) / jnp.dot(ab, ab), 0, 1)
-        t = e(t).reshape((-1, 1))
+        t = e(t)
         return t * d2 + (1 - t) * d1
 
     return fn, params
@@ -606,9 +600,9 @@ def transition_radial(f0, f1, r0=0, r1=1, e=ease.linear):
     def fn(q, p):
         d1 = q["f0"](p)
         d2 = q["f1"](p)
-        r = jnp.hypot(p[:, 0], p[:, 1])
+        r = jnp.hypot(p.c[0], p.c[1])
         t = jnp.clip((r - q["r0"]) / (q["r1"] - q["r0"]), 0, 1)
-        t = e(t).reshape((-1, 1))
+        t = e(t)
         return t * d2 + (1 - t) * d1
 
     return fn, params
@@ -630,15 +624,14 @@ def wrap_around(other, x0, x1, r=None, e=ease.linear):
     }
 
     def fn(q, p):
-        x = p[:, 0]
-        y = p[:, 1]
-        z = p[:, 2]
-        d = (jnp.hypot(x, y) - q["r"]).reshape((-1, 1))
+        x, y, z = p.c
+        d = jnp.hypot(x, y) - q["r"]
         a = jnp.arctan2(y, x)
-        t = e((a + jnp.pi) / (2 * jnp.pi)).reshape((-1, 1))
-        w = q["p0"] + (q["p1"] - q["p0"]) * t + q["v"] * d
-        w = _vec(w[:, 0], w[:, 1], z)
-        return q["other"](w)
+        t = e((a + jnp.pi) / (2 * jnp.pi))
+        p0_, p1_, v_ = q["p0"], q["p1"], q["v"]
+        wx = p0_[0] + (p1_[0] - p0_[0]) * t + v_[0] * d
+        wy = p0_[1] + (p1_[1] - p0_[1]) * t + v_[1] * d
+        return q["other"](_vec(wx, wy, z))
 
     return fn, params
 
@@ -655,9 +648,9 @@ def slice(other):
     params = {"a": a, "b": b}
 
     def fn(q, p):
-        w = _vec(p[:, 0], p[:, 1], jnp.zeros_like(p[:, 0]))
-        A = q["a"](w).reshape(-1)
-        B = -q["b"](w).reshape(-1)
+        w = _vec(p.c[0], p.c[1], jnp.zeros(()))
+        A = q["a"](w)
+        B = -q["b"](w)
         return jnp.where(A <= 0, B, A)
 
     return fn, params

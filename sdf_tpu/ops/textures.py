@@ -130,14 +130,13 @@ def _texture_sdf(width, height, pixels, px, py, im):
 
     def fn(q, p):
         tex = q["texture"]
-        x = p[:, 0]
-        y = p[:, 1]
+        x, y = p.c
         u = (x - extent[0]) / (extent[2] - extent[0])
         v = 1 - (y - extent[1]) / (extent[3] - extent[1])
         i = u * pw + px
         j = v * ph + py
         d = _bilinear_interpolate(tex, i, j)
-        fallback = q["rectangle"](p).reshape(-1)
+        fallback = q["rectangle"](p)
         outside_tex = (i < 0) | (i >= tw - 1) | (j < 0) | (j >= th - 1)
         return jnp.where(outside_tex, fallback, d)
 

@@ -32,6 +32,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core import mc
 from ..core.mc_tables import NTRI_TABLE
+from ..core.node import Points
 
 AXIS = "grid"
 
@@ -56,16 +57,10 @@ def _slab_eval(sdf, X, Y, Zblk, chunk_points):
     Zp = jnp.concatenate([Zblk, jnp.full((pad,), Zblk[-1], Zblk.dtype)])
 
     def slab(zc):
+        # SoA evaluation (see core.node.Points): no (N, 3) materialization.
         shape = (nx, ny, zc.shape[0])
-        p = jnp.stack(
-            [
-                jnp.broadcast_to(X[:, None, None], shape),
-                jnp.broadcast_to(Y[None, :, None], shape),
-                jnp.broadcast_to(zc[None, None, :], shape),
-            ],
-            axis=-1,
-        ).reshape(-1, 3)
-        return sdf(p).reshape(shape)
+        p = Points(X[:, None, None], Y[None, :, None], zc[None, None, :])
+        return jnp.broadcast_to(sdf(p), shape)
 
     vols = jax.lax.map(slab, Zp.reshape(nchunks, sz))
     return jnp.moveaxis(vols, 0, 2).reshape(nx, ny, nchunks * sz)[:, :, :nzb]
