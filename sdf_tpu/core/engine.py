@@ -225,7 +225,8 @@ def generate(
         mesh = pgrid.make_mesh()
 
     if bounds is None:
-        bounds = _estimate_bounds(sdf, dtype)
+        with jax.profiler.TraceAnnotation("sdf_tpu.bounds"):
+            bounds = _estimate_bounds(sdf, dtype)
     (x0, y0, z0), (x1, y1, z1) = bounds
 
     if step is None and samples is not None:
@@ -267,28 +268,34 @@ def generate(
 
     sdf_c = cast(sdf, dtype)
 
-    skip = (
-        _skip_mask(sdf_c, X, Y, Z, s, dtype)
-        if sparse
-        else np.zeros(
-            (-(-len(X) // s), -(-len(Y) // s), -(-len(Z) // s)), dtype=bool
+    with jax.profiler.TraceAnnotation("sdf_tpu.skip_mask"):
+        skip = (
+            _skip_mask(sdf_c, X, Y, Z, s, dtype)
+            if sparse
+            else np.zeros(
+                (-(-len(X) // s), -(-len(Y) // s), -(-len(Z) // s)), dtype=bool
+            )
         )
-    )
     bar.update(num_batches * 0.1)
 
     if mesh is not None and mesh.devices.size > 1:
         from ..parallel import grid as pgrid
 
-        verts, per_tile = pgrid.mesh_and_march(sdf_c, X, Y, Z, skip, s, mesh, dtype)
+        with jax.profiler.TraceAnnotation("sdf_tpu.mesh_and_march"):
+            verts, per_tile = pgrid.mesh_and_march(
+                sdf_c, X, Y, Z, skip, s, mesh, dtype
+            )
         bar.update(num_batches * 0.8)
     else:
-        vol = _eval_volume(sdf_c, X, Y, Z, dtype)
+        with jax.profiler.TraceAnnotation("sdf_tpu.eval_volume"):
+            vol = _eval_volume(sdf_c, X, Y, Z, dtype)
         bar.update(num_batches * 0.6)
 
         cshape = (len(X) - 1, len(Y) - 1, len(Z) - 1)
         keep = _expand_tile_mask(jnp.asarray(~skip), s, cshape)
 
-        total, per_tile = mc.count(vol, keep, s)
+        with jax.profiler.TraceAnnotation("sdf_tpu.mc_count"):
+            total, per_tile = mc.count(vol, keep, s)
         n = int(total)
         bar.update(num_batches * 0.8)
 
@@ -296,7 +303,8 @@ def generate(
             verts = np.zeros((0, 3), dtype=np.float64)
         else:
             capacity = 1 << (n - 1).bit_length()
-            dverts, n_tris = mc.emit(vol, keep, capacity)
+            with jax.profiler.TraceAnnotation("sdf_tpu.mc_emit"):
+                dverts, n_tris = mc.emit(vol, keep, capacity)
             n = int(n_tris)
             verts = np.asarray(dverts[:n], dtype=np.float64).reshape(-1, 3)
 

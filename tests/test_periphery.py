@@ -1,0 +1,162 @@
+"""Text/image SDFs, mesh import -> SDF, IO formats, slices, progress."""
+
+import io
+import os
+import sys
+
+import numpy as np
+import pytest
+
+import sdf_tpu as st
+from ref_oracle import ref
+
+FONT = "DejaVuSans"
+
+
+# --- text / image textures --------------------------------------------------
+
+def test_text_parity_with_reference():
+    ours = st.text(FONT, "Ab", height=1)
+    theirs = ref.text(FONT, "Ab", height=1)
+    rng = np.random.RandomState(0)
+    p = rng.uniform(-1.5, 1.5, (2048, 2))
+    a = np.asarray(ours(p)).reshape(-1)
+    b = np.asarray(theirs(p)).reshape(-1)
+    # float32 texture leaf vs the reference's float64; distances are in
+    # world units so 1e-5 is tight.
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_measure_text_matches_reference():
+    assert st.measure_text(FONT, "Hello") == pytest.approx(
+        ref.measure_text(FONT, "Hello")
+    )
+
+
+def test_image_parity_with_reference(tmp_path):
+    from PIL import Image
+
+    rng = np.random.RandomState(1)
+    arr = (rng.rand(48, 64) > 0.5).astype(np.uint8) * 255
+    path = str(tmp_path / "img.png")
+    Image.fromarray(arr, mode="L").save(path)
+
+    ours = st.image(path, width=2)
+    theirs = ref.image(path, width=2)
+    p = rng.uniform(-2, 2, (2048, 2))
+    np.testing.assert_allclose(
+        np.asarray(ours(p)).reshape(-1),
+        np.asarray(theirs(p)).reshape(-1),
+        atol=1e-5,
+    )
+    assert st.measure_image(path) == pytest.approx(ref.measure_image(path))
+
+
+def test_text_extrude_generates(tmp_path):
+    f = st.rounded_box((3, 1.5, 0.2), 0.1) - st.text(FONT, "Hi").extrude(1)
+    pts = f.generate(samples=2**14, verbose=False)
+    assert len(pts) > 0
+
+
+# --- mesh import / mesh -> SDF ----------------------------------------------
+
+def _cube_mesh(half=1.0):
+    v = np.array(
+        [
+            [-1, -1, -1], [1, -1, -1], [1, 1, -1], [-1, 1, -1],
+            [-1, -1, 1], [1, -1, 1], [1, 1, 1], [-1, 1, 1],
+        ],
+        dtype=np.float64,
+    ) * half
+    faces = np.array(
+        [
+            [0, 2, 1], [0, 3, 2],  # bottom (z=-1), outward -z
+            [4, 5, 6], [4, 6, 7],  # top
+            [0, 1, 5], [0, 5, 4],  # y=-1
+            [2, 3, 7], [2, 7, 6],  # y=+1
+            [1, 2, 6], [1, 6, 5],  # x=+1
+            [3, 0, 4], [3, 4, 7],  # x=-1
+        ],
+        dtype=np.int64,
+    )
+    return st.Mesh(v, faces)
+
+
+def test_mesh_sdf_approximates_box():
+    mesh = _cube_mesh(1.0)
+    f = mesh.sdf(voxel_size=0.1, half_width=0.5)
+    rng = np.random.RandomState(2)
+    p = rng.uniform(-1.4, 1.4, (512, 3))
+    ours = np.asarray(f(p)).reshape(-1)
+    expect = np.asarray(st.box(2.0)(p)).reshape(-1)
+    band = np.abs(expect) < 0.3  # narrow band only
+    # trilinear grid + winding sign vs exact box SDF (corners round off a
+    # little at 0.1 voxels, hence the tolerance)
+    np.testing.assert_allclose(ours[band], expect[band], atol=0.04)
+    # sign correctness everywhere within the band region
+    assert np.all(np.sign(ours[band]) == np.sign(expect[band]))
+
+
+def test_mesh_sdf_attribute_fallthrough():
+    f = _cube_mesh(0.5).sdf(voxel_size=0.1)
+    assert f.array.ndim == 3
+    assert len(f.xyz) == 3
+    assert f.background > 0
+
+
+def test_mesh_helpers():
+    m = _cube_mesh(1.0).translated((1, 0, 0)).scaled(2)
+    a, b = m.bounding_box
+    np.testing.assert_allclose(a, (0, -2, -2))
+    np.testing.assert_allclose(b, (4, 2, 2))
+    c = m.centered()
+    a, b = c.bounding_box
+    np.testing.assert_allclose(np.add(a, b), (0, 0, 0), atol=1e-12)
+
+
+def test_mesh_sdf_composes_with_ops():
+    f = _cube_mesh(1.0).sdf(voxel_size=0.15, half_width=0.6)
+    g = f.erode(0.1).shell(0.2)  # the hollowed() pattern (ref examples/mesh.py)
+    pts = g.generate(step=0.15, verbose=False, sparse=False)
+    assert len(pts) > 0
+
+
+# --- IO ---------------------------------------------------------------------
+
+def test_save_obj_roundtrip(tmp_path):
+    from sdf_tpu.io import meshfmt
+
+    path = str(tmp_path / "out.obj")
+    pts = st.sphere(1).save(path, samples=2**14, verbose=False)
+    v, tris = meshfmt.read_mesh(path)
+    assert len(tris) == len(pts) // 3
+    np.testing.assert_allclose(np.linalg.norm(v, axis=1), 1.0, atol=2e-2)
+
+
+def test_save_ply_roundtrip(tmp_path):
+    from sdf_tpu.io import meshfmt
+
+    path = str(tmp_path / "out.ply")
+    pts = st.sphere(1).save(path, samples=2**14, verbose=False)
+    v, tris = meshfmt.read_mesh(path)
+    assert len(tris) == len(pts) // 3
+
+
+# --- slices & debug ---------------------------------------------------------
+
+def test_sample_slice_axes():
+    f = st.sphere(1)
+    a, extent, axes = st.sample_slice(f, w=64, h=64, z=0)
+    assert a.shape == (64, 64) and axes == "YX"
+    a, extent, axes = st.sample_slice(f, w=32, h=32, x=0)
+    assert a.shape == (32, 32) and axes == "ZY"
+    with pytest.raises(Exception):
+        st.sample_slice(f)
+
+
+def test_verbose_output_format(capsys):
+    st.sphere(1).generate(samples=2**12, verbose=True)
+    out = capsys.readouterr().out
+    assert "min " in out and "max " in out and "step " in out
+    assert "skipped" in out and "empty" in out and "nonempty" in out
+    assert "triangles in" in out
