@@ -103,41 +103,74 @@ def _expand_tile_mask(keep, tile, shape):
     return m[: shape[0], : shape[1], : shape[2]]
 
 
-def _estimate_bounds(sdf, dtype=jnp.float32):
-    """Iterative probe-grid bounds estimation (ref sdf/core.py:62-82).
+@partial(jax.jit, static_argnames=("dtype",))
+def _estimate_bounds_jit(sdf, dtype):
+    """Whole bounds-refinement loop as ONE device program.
 
-    Host-driven loop (each iteration's grid depends on the last); the 16^3
-    probe evaluations run on device through the same jitted evaluator.
+    The reference runs 32 host iterations each dispatching a 16^3 probe
+    grid (ref sdf/core.py:62-82); a host loop costs a device round trip
+    per iteration (~1s each through a TPU tunnel), so the loop lives in a
+    ``lax.while_loop`` and the host gets exactly one small transfer.
+    ``argwhere`` (dynamic shape) is replaced by masked index min/max.
     """
     s = 16
-    x0 = y0 = z0 = -1e9
-    x1 = y1 = z1 = 1e9
-    prev = None
+    big = jnp.asarray(1e9, dtype)
+
+    def cond(state):
+        i, lo, hi, prev, empty = state
+        X = jnp.linspace(lo[0], hi[0], s)
+        Y = jnp.linspace(lo[1], hi[1], s)
+        Z = jnp.linspace(lo[2], hi[2], s)
+        d = jnp.stack([X[1] - X[0], Y[1] - Y[0], Z[1] - Z[0]])
+        threshold = jnp.linalg.norm(d) / 2
+        return (i < 32) & (threshold != prev) & ~empty
+
+    def body(state):
+        i, lo, hi, prev, empty = state
+        X = jnp.linspace(lo[0], hi[0], s)
+        Y = jnp.linspace(lo[1], hi[1], s)
+        Z = jnp.linspace(lo[2], hi[2], s)
+        d = jnp.stack([X[1] - X[0], Y[1] - Y[0], Z[1] - Z[0]])
+        threshold = jnp.linalg.norm(d) / 2
+        vol = sdf(Points(X[:, None, None], Y[None, :, None], Z[None, None, :]))
+        vol = jnp.broadcast_to(vol, (s, s, s))
+        # Tiny relative slack: probe points can land exactly on
+        # |d| == threshold in float32 (the canonical example model does);
+        # err on the side of keeping cells.
+        mask = jnp.abs(vol) <= threshold * (1 + 1e-4)
+        empty = ~jnp.any(mask)
+
+        idx = jnp.arange(s, dtype=dtype)
+        axis_mask = [
+            jnp.any(mask, axis=(1, 2)),
+            jnp.any(mask, axis=(0, 2)),
+            jnp.any(mask, axis=(0, 1)),
+        ]
+        imin = jnp.stack([jnp.min(jnp.where(m, idx, big)) for m in axis_mask])
+        imax = jnp.stack([jnp.max(jnp.where(m, idx, -big)) for m in axis_mask])
+        new_hi = lo + imax * d + d / 2
+        new_lo = lo + imin * d - d / 2
+        lo = jnp.where(empty, lo, new_lo)
+        hi = jnp.where(empty, hi, new_hi)
+        return (i + 1, lo, hi, threshold, empty)
+
+    lo0 = jnp.full((3,), -big)
+    hi0 = jnp.full((3,), big)
+    state = (jnp.int32(0), lo0, hi0, jnp.asarray(-1.0, dtype), jnp.asarray(False))
+    _, lo, hi, _, empty = jax.lax.while_loop(cond, body, state)
+    return lo, hi, empty
+
+
+def _estimate_bounds(sdf, dtype=jnp.float32):
+    """Probe-grid bounds estimation (ref sdf/core.py:62-82), on device."""
     sdf_c = cast(sdf, dtype)
-    for _ in range(32):
-        X = np.linspace(x0, x1, s)
-        Y = np.linspace(y0, y1, s)
-        Z = np.linspace(z0, z1, s)
-        d = np.array([X[1] - X[0], Y[1] - Y[0], Z[1] - Z[0]])
-        threshold = np.linalg.norm(d) / 2
-        if threshold == prev:
-            break
-        prev = threshold
-        P = _cartesian_product(X, Y, Z)
-        volume = np.asarray(
-            _eval_points(sdf_c, jnp.asarray(P, dtype=dtype))
-        ).reshape((len(X), len(Y), len(Z)))
-        # Tiny relative slack: the compute dtype is float32 and probe points
-        # can land exactly on |d| == threshold (they do for the canonical
-        # example model); err on the side of keeping cells.
-        where = np.argwhere(np.abs(volume) <= threshold * (1 + 1e-4))
-        if where.size == 0:
-            raise ValueError(
-                "bounds estimation failed (no surface found); pass bounds= explicitly"
-            )
-        x1, y1, z1 = (x0, y0, z0) + where.max(axis=0) * d + d / 2
-        x0, y0, z0 = (x0, y0, z0) + where.min(axis=0) * d - d / 2
-    return ((x0, y0, z0), (x1, y1, z1))
+    lo, hi, empty = _estimate_bounds_jit(sdf_c, dtype)
+    lo, hi, empty = np.asarray(lo), np.asarray(hi), bool(empty)
+    if empty:
+        raise ValueError(
+            "bounds estimation failed (no surface found); pass bounds= explicitly"
+        )
+    return (tuple(lo.tolist()), tuple(hi.tolist()))
 
 
 def _tile_slices(n, size):
@@ -207,6 +240,7 @@ def generate(
     sparse=True,
     dtype=None,
     mesh=None,
+    checkpoint=None,
 ):
     """Sample the SDF on a dense grid and mesh it (ref sdf/core.py:84-150).
 
@@ -215,6 +249,9 @@ def generate(
     compatibility; parallelism is the device mesh, not a thread pool:
     pass ``mesh=`` (a 1D ``jax.sharding.Mesh``) to shard the grid over
     devices, or leave it None to auto-shard when >1 device is visible.
+    ``checkpoint=`` names a file that persists the result keyed on a
+    fingerprint of the run configuration; a matching re-run resumes from
+    it instead of recomputing (see sdf_tpu.utils.checkpoint).
     """
     start = time.time()
     dtype = dtype or jnp.float32
@@ -268,6 +305,18 @@ def generate(
 
     sdf_c = cast(sdf, dtype)
 
+    fp = None
+    if checkpoint is not None:
+        from ..utils import checkpoint as ckpt
+
+        fp = ckpt.fingerprint(sdf_c, X, Y, Z, sparse)
+        cached = ckpt.load(checkpoint, fp)
+        if cached is not None:
+            bar.done()
+            if verbose:
+                print("resumed %d triangles from %s" % (len(cached) // 3, checkpoint))
+            return cached
+
     with jax.profiler.TraceAnnotation("sdf_tpu.skip_mask"):
         skip = (
             _skip_mask(sdf_c, X, Y, Z, s, dtype)
@@ -312,6 +361,11 @@ def generate(
     offset = np.array([X[0], Y[0], Z[0]])
     points = verts.reshape(-1, 3) * scale + offset
     bar.done()
+
+    if checkpoint is not None:
+        from ..utils import checkpoint as ckpt
+
+        ckpt.save(checkpoint, fp, points)
 
     if verbose:
         # per_tile is sized on cell tiles, which can be one short of the

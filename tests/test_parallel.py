@@ -5,6 +5,7 @@ exact shard_map / halo / gather code used on a real TPU pod slice.
 """
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -38,7 +39,10 @@ def _tri_set(points):
 def test_sharded_matches_single_device(sparse):
     assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
     f = _example_model()
-    kwargs = dict(samples=2**14, verbose=False, sparse=sparse)
+    # float64: single-device and shard_map programs compile to different
+    # fusions, and f32 reassociation noise near zero crossings can flip
+    # marching-cubes cells; at f64 the noise (~1e-16) cannot.
+    kwargs = dict(samples=2**14, verbose=False, sparse=sparse, dtype=jnp.float64)
     mesh1 = pgrid.make_mesh(jax.devices()[:1])
     p1 = sdf_tpu.generate(f, mesh=mesh1, **kwargs)
     p8 = sdf_tpu.generate(f, mesh=pgrid.make_mesh(), **kwargs)
@@ -50,7 +54,7 @@ def test_sharded_nondivisible_slabs():
     # Grid z-cell count not divisible by device count: padding + mask path.
     f = sdf_tpu.sphere(1)
     bounds = ((-1.1, -1.1, -1.1), (1.1, 1.1, 1.1))
-    kwargs = dict(step=0.09, bounds=bounds, verbose=False)  # 25 samples/axis
+    kwargs = dict(step=0.09, bounds=bounds, verbose=False, dtype=jnp.float64)  # 25 samples/axis
     mesh1 = pgrid.make_mesh(jax.devices()[:1])
     p1 = sdf_tpu.generate(f, mesh=mesh1, **kwargs)
     p8 = sdf_tpu.generate(f, mesh=pgrid.make_mesh(), **kwargs)
@@ -67,3 +71,20 @@ def test_sharded_empty_result():
         mesh=pgrid.make_mesh(),
     )
     assert p8.shape == (0, 3)
+
+
+def test_multihost_helpers_single_process(tmp_path):
+    # Single-process degenerate path of the multi-host API.
+    from sdf_tpu import parallel
+
+    idx, count = parallel.initialize()
+    assert idx == 0 and count >= 1
+    pts = np.arange(27, dtype=np.float64).reshape(9, 3)
+    out = parallel.gather_triangles(pts)
+    np.testing.assert_array_equal(out, pts)
+    path = str(tmp_path / "mh.stl")
+    parallel.write_on_process0(path, pts)
+    from sdf_tpu.io import stl
+
+    v, tris = stl.read_binary_stl(path)
+    assert len(tris) == 3

@@ -160,3 +160,17 @@ def test_verbose_output_format(capsys):
     assert "min " in out and "max " in out and "step " in out
     assert "skipped" in out and "empty" in out and "nonempty" in out
     assert "triangles in" in out
+
+
+# --- checkpoint / resume ----------------------------------------------------
+
+def test_checkpoint_resume(tmp_path):
+    path = str(tmp_path / "run.ckpt")
+    f = st.sphere(1)
+    a = f.generate(samples=2**12, verbose=False, checkpoint=path)
+    assert os.path.exists(path)
+    b = f.generate(samples=2**12, verbose=False, checkpoint=path)
+    np.testing.assert_array_equal(a, b)
+    # different model -> fingerprint mismatch -> recompute, not stale load
+    c = st.sphere(1.2).generate(samples=2**12, verbose=False, checkpoint=path)
+    assert len(c) != len(a) or not np.array_equal(a, c)
