@@ -18,6 +18,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 from sdf_tpu import *  # noqa: F401,F403
 
 SAMPLES = 2**26
+if "--samples" in sys.argv:
+    SAMPLES = 2 ** int(sys.argv[sys.argv.index("--samples") + 1])
 RENDER = os.path.join(os.path.dirname(__file__), "..", "tools", "render")
 
 
@@ -112,12 +114,23 @@ generate(rectangle(2).extrude_to(circle(1), 2, ease.in_out_quad), "extrude_to")
 generate(hexagon(1).revolve(3), "revolve")
 generate(example.translate((0, 0, 0.55)).slice().extrude(0.1), "slice")
 
-# text
+# text -- fall back to a font that exists on this system (the reference
+# assumes Georgia/Arial, which only macOS ships)
+def _font(name):
+    from PIL import ImageFont
+
+    try:
+        ImageFont.truetype(name, 12)
+        return name
+    except OSError:
+        return "DejaVuSans"
+
+
 f = rounded_box((7, 2, 0.2), 0.1)
-f -= text("Georgia", "Hello, World!").extrude(0.2).rotate(pi).translate(0.1 * Z)
+f -= text(_font("Georgia"), "Hello, World!").extrude(0.2).rotate(pi).translate(0.1 * Z)
 generate(f, "text")
 
-FONT = "Arial"
+FONT = _font("Arial")
 TEXT = " wrap_around " * 3
 w, h = measure_text(FONT, TEXT)
 f = text(FONT, TEXT).extrude(0.1).orient(Y).wrap_around(-w / 2, w / 2)

@@ -7,7 +7,27 @@ sampling + marching cubes run on device, and grids shard over
 ``jax.sharding`` meshes.
 """
 
+import os as _os
+
 import numpy as np  # the reference's star-export leaks np; scripts rely on it
+
+# Persistent XLA compilation cache: TPU compiles of large fused expression
+# trees are expensive (minutes through a tunneled runtime); caching them on
+# disk makes every later process start warm.  Opt out with
+# SDF_TPU_NO_COMPILE_CACHE=1 or override the location via
+# JAX_COMPILATION_CACHE_DIR (which takes precedence automatically).
+if not _os.environ.get("SDF_TPU_NO_COMPILE_CACHE"):
+    try:
+        import jax as _jax
+
+        if _os.environ.get("JAX_COMPILATION_CACHE_DIR") is None:
+            _jax.config.update(
+                "jax_compilation_cache_dir",
+                _os.path.expanduser("~/.cache/sdf_tpu/xla"),
+            )
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
 
 from .utils.util import pi, degrees, radians
 

@@ -344,16 +344,18 @@ def generate(
         keep = _expand_tile_mask(jnp.asarray(~skip), s, cshape)
 
         with jax.profiler.TraceAnnotation("sdf_tpu.mc_count"):
-            total, per_tile = mc.count(vol, keep, s)
+            total, per_tile, n_cells = mc.count(vol, keep, s)
         n = int(total)
+        n_cells = int(n_cells)
         bar.update(num_batches * 0.8)
 
         if n == 0:
             verts = np.zeros((0, 3), dtype=np.float64)
         else:
             capacity = 1 << (n - 1).bit_length()
+            cell_capacity = 1 << max(0, n_cells - 1).bit_length()
             with jax.profiler.TraceAnnotation("sdf_tpu.mc_emit"):
-                dverts, n_tris = mc.emit(vol, keep, capacity)
+                dverts, n_tris = mc.emit(vol, keep, capacity, cell_capacity)
             n = int(n_tris)
             verts = np.asarray(dverts[:n], dtype=np.float64).reshape(-1, 3)
 

@@ -56,7 +56,7 @@ def count(volume, cell_mask, tile):
     reference's ``_skip``, ref sdf/core.py:28-43).  ``tile`` is the cell
     tile size (reference ``batch_size``, default 32).
 
-    Returns (total_triangles, per_tile_triangle_counts).
+    Returns (total_triangles, per_tile_triangle_counts, active_cells).
     """
     case = _cell_cases(volume)
     ntri = jnp.asarray(NTRI_TABLE)[case] * cell_mask.astype(jnp.int32)
@@ -66,34 +66,42 @@ def count(volume, cell_mask, tile):
     padded = jnp.pad(ntri, ((0, px), (0, py), (0, pz)))
     tx, ty, tz = (cx + px) // tile, (cy + py) // tile, (cz + pz) // tile
     per_tile = padded.reshape(tx, tile, ty, tile, tz, tile).sum(axis=(1, 3, 5))
-    return jnp.sum(ntri), per_tile
+    return jnp.sum(ntri), per_tile, jnp.sum((ntri > 0).astype(jnp.int32))
 
 
-@partial(jax.jit, static_argnames=("capacity",))
-def emit(volume, cell_mask, capacity):
+@partial(jax.jit, static_argnames=("capacity", "cell_capacity"))
+def emit(volume, cell_mask, capacity, cell_capacity=None):
     """Phase 2: triangle soup with a static ``capacity``.
 
     Returns ``(verts, n_tris)`` where ``verts`` is ``(capacity, 3, 3)`` in
-    fractional index coordinates; rows ``[0:n_tris]`` are valid (flatnonzero
-    packs real indices first).
+    fractional index coordinates; rows ``[0:n_tris]`` are valid.
+
+    Two-level compaction: ``flatnonzero`` on TPU is sort-based, so
+    compacting at (cell, slot) granularity costs O(5 * ncells log) -- the
+    dominant emit cost (measured 180ms of a 370ms emit at 20M slots).
+    Instead compact *cells* first (ncells bools), run the slot/table/
+    interpolation work only on the <= ``cell_capacity`` surviving cells,
+    then compact their <= 5x slots (a tiny second pass).  Triangle order
+    is unchanged: ascending (cell, slot), exactly the reference's
+    batch-then-cell order.
     """
+    if cell_capacity is None:
+        # n_active_cells <= n_triangles, so the triangle capacity is a
+        # safe (if generous) bound.
+        cell_capacity = capacity
     case = _cell_cases(volume)
     ntri = jnp.asarray(NTRI_TABLE)[case] * cell_mask.astype(jnp.int32)
     cshape = case.shape
 
-    # One work item per (cell, tri-slot); active slots are compacted so the
-    # interpolation below only runs on real triangles.
-    slot_valid = (
-        jax.lax.broadcasted_iota(jnp.int32, (case.size, MAX_TRIS_PER_CELL), 1)
-        < ntri.reshape(-1, 1)
-    ).reshape(-1)
-    flat = jnp.flatnonzero(slot_valid, size=capacity, fill_value=0)
-    n_tris = jnp.sum(slot_valid.astype(jnp.int32))
+    # --- level 1: compact active cells --------------------------------
+    active = (ntri > 0).reshape(-1)
+    cell_idx = jnp.flatnonzero(active, size=cell_capacity, fill_value=0)
+    n_cells = jnp.sum(active.astype(jnp.int32))
+    cell_live = jnp.arange(cell_capacity) < n_cells
 
-    cell_idx = flat // MAX_TRIS_PER_CELL
-    slot = flat % MAX_TRIS_PER_CELL
     ci, cj, ck = jnp.unravel_index(cell_idx, cshape)
     cell_case = case.reshape(-1)[cell_idx]
+    cell_ntri = jnp.where(cell_live, ntri.reshape(-1)[cell_idx], 0)
 
     # Gather the 8 corner values of each active cell.
     nx, ny, nz = volume.shape
@@ -102,16 +110,14 @@ def emit(volume, cell_mask, capacity):
     for ox, oy, oz in np.asarray(CORNER_OFFSETS):
         lin = ((ci + ox) * ny + (cj + oy)) * nz + (ck + oz)
         corner_vals.append(vflat[lin])
-    corner_vals = jnp.stack(corner_vals, axis=-1)  # (capacity, 8)
+    corner_vals = jnp.stack(corner_vals, axis=-1)  # (cell_capacity, 8)
 
-    # Edge ids of this slot's triangle.
-    edges = jnp.asarray(_TRI_FLAT)[cell_case]  # (capacity, MAX_TRIS*3)
-    base = (slot * 3).reshape(-1, 1) + jnp.arange(3, dtype=slot.dtype)
-    tri_edges = jnp.take_along_axis(edges, base, axis=1)  # (capacity, 3)
-    tri_edges = jnp.maximum(tri_edges, 0)  # padding slots: clamp, masked out
+    # All MAX_TRIS_PER_CELL slots per active cell, vectorized.
+    edges = jnp.asarray(_TRI_FLAT)[cell_case]  # (cell_capacity, MAX_TRIS*3)
+    tri_edges = jnp.maximum(edges, 0)  # padding slots: clamp, masked out
 
-    # Interpolate each vertex along its crossing edge.
-    ca = jnp.asarray(_EDGE_A)[tri_edges]  # (capacity, 3) corner ids
+    # Interpolate each slot-vertex along its crossing edge.
+    ca = jnp.asarray(_EDGE_A)[tri_edges]  # (cell_capacity, MAX_TRIS*3)
     cb = jnp.asarray(_EDGE_B)[tri_edges]
     va = jnp.take_along_axis(corner_vals, ca, axis=1)
     vb = jnp.take_along_axis(corner_vals, cb, axis=1)
@@ -120,8 +126,18 @@ def emit(volume, cell_mask, capacity):
     t = jnp.clip(t, 0.0, 1.0)
 
     offs = jnp.asarray(CORNER_OFFSETS, dtype=volume.dtype)  # (8, 3)
-    pa = offs[ca]  # (capacity, 3, 3)
+    pa = offs[ca]  # (cell_capacity, MAX_TRIS*3, 3)
     pb = offs[cb]
     base_pos = jnp.stack([ci, cj, ck], axis=-1).astype(volume.dtype)
     verts = base_pos[:, None, :] + pa + t[..., None] * (pb - pa)
-    return verts, n_tris
+    verts = verts.reshape(cell_capacity, MAX_TRIS_PER_CELL, 3, 3)
+
+    # --- level 2: compact live slots (small: cell_capacity * 5) -------
+    slot_valid = (
+        jax.lax.broadcasted_iota(jnp.int32, (cell_capacity, MAX_TRIS_PER_CELL), 1)
+        < cell_ntri[:, None]
+    ).reshape(-1)
+    tri_idx = jnp.flatnonzero(slot_valid, size=capacity, fill_value=0)
+    n_tris = jnp.sum(slot_valid.astype(jnp.int32))
+    out = verts.reshape(-1, 3, 3)[tri_idx]
+    return out, n_tris

@@ -100,6 +100,7 @@ def _phase_count(sdf, X, Y, Zs, keep_xy, mesh, c, ncz, tile, n_z_tiles, chunk_po
         case = mc._cell_cases(vol)
         ntri = jnp.asarray(NTRI_TABLE)[case] * mask.astype(jnp.int32)
         total = jnp.sum(ntri)
+        ncell = jnp.sum((ntri > 0).astype(jnp.int32))
 
         # Global per-tile stats: bin local z cells into *global* z tiles
         # (slab boundaries do not align with 32-cell tiles), then psum.
@@ -115,18 +116,21 @@ def _phase_count(sdf, X, Y, Zs, keep_xy, mesh, c, ncz, tile, n_z_tiles, chunk_po
         )
         per_tile = jnp.moveaxis(per_tile, 0, 2)
         per_tile = jax.lax.psum(per_tile, AXIS)
-        return vol[None], total[None], per_tile
+        return vol[None], total[None], ncell[None], per_tile
 
     return jax.shard_map(
         body,
         mesh=mesh,
         in_specs=(P(), P(), P(AXIS), P()),
-        out_specs=(P(AXIS), P(AXIS), P()),
+        out_specs=(P(AXIS), P(AXIS), P(AXIS), P()),
     )(X, Y, Zs, keep_xy)
 
 
-@partial(jax.jit, static_argnames=("mesh", "c", "ncz", "tile", "capacity"))
-def _phase_emit(vol, keep_xy, mesh, c, ncz, tile, capacity):
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "c", "ncz", "tile", "capacity", "cell_capacity"),
+)
+def _phase_emit(vol, keep_xy, mesh, c, ncz, tile, capacity, cell_capacity):
     """Sharded phase 2: per-slab marching cubes into fixed-size buffers.
 
     Returns (verts, counts): verts (ndev, capacity, 3, 3) in *global*
@@ -136,7 +140,7 @@ def _phase_emit(vol, keep_xy, mesh, c, ncz, tile, capacity):
     def body(vol, keep_xy):
         vol = vol[0]
         mask = _local_cell_mask(keep_xy, c, ncz, tile, AXIS)
-        verts, n = mc.emit(vol, mask, capacity)
+        verts, n = mc.emit(vol, mask, capacity, cell_capacity)
         dev = jax.lax.axis_index(AXIS)
         # Local slab cell 0 is global cell dev*c: shift z to global index space.
         verts = verts.at[..., 2].add((dev * c).astype(verts.dtype))
@@ -183,18 +187,22 @@ def mesh_and_march(sdf_c, X, Y, Z, skip, tile, mesh, dtype, chunk_points=2**22):
     Zsd = jnp.asarray(Zs, dtype=dtype)
     keep_d = jnp.asarray(keep_xy)
 
-    vol, totals, per_tile = _phase_count(
+    vol, totals, ncells, per_tile = _phase_count(
         sdf_c, Xd, Yd, Zsd, keep_d, mesh, c, ncz, tile,
         keep.shape[2], chunk_points,
     )
     totals = np.asarray(totals)
+    ncells = np.asarray(ncells)
     nmax = int(totals.max()) if totals.size else 0
 
     if nmax == 0:
         return np.zeros((0, 3), dtype=np.float64), np.asarray(per_tile)
 
     capacity = 1 << (nmax - 1).bit_length()
-    verts, counts = _phase_emit(vol, keep_d, mesh, c, ncz, tile, capacity)
+    cell_capacity = 1 << max(0, int(ncells.max()) - 1).bit_length()
+    verts, counts = _phase_emit(
+        vol, keep_d, mesh, c, ncz, tile, capacity, cell_capacity
+    )
     counts = np.asarray(counts)
     verts = np.asarray(verts, dtype=np.float64)
     out = np.concatenate([verts[i, : counts[i]] for i in range(ndev)], axis=0)
