@@ -344,7 +344,7 @@ def generate(
         keep = _expand_tile_mask(jnp.asarray(~skip), s, cshape)
 
         with jax.profiler.TraceAnnotation("sdf_tpu.mc_count"):
-            total, per_tile, n_cells = mc.count(vol, keep, s)
+            total, per_tile, n_cells, case = mc.count(vol, keep, s)
         n = int(total)
         n_cells = int(n_cells)
         bar.update(num_batches * 0.8)
@@ -355,7 +355,9 @@ def generate(
             capacity = 1 << (n - 1).bit_length()
             cell_capacity = 1 << max(0, n_cells - 1).bit_length()
             with jax.profiler.TraceAnnotation("sdf_tpu.mc_emit"):
-                dverts, n_tris = mc.emit(vol, keep, capacity, cell_capacity)
+                dverts, n_tris = mc.emit(
+                    vol, keep, capacity, cell_capacity, case
+                )
             n = int(n_tris)
             verts = np.asarray(dverts[:n], dtype=np.float64).reshape(-1, 3)
 

@@ -37,6 +37,26 @@ _TRI_FLAT = TRI_TABLE.reshape(256, -1)  # (256, MAX_TRIS * 3)
 _EDGE_A = EDGE_CORNERS[:, 0]
 _EDGE_B = EDGE_CORNERS[:, 1]
 
+# Everything that depends only on (case, slot-vertex) is precomputed into
+# one (256, 8*NSV) table fetched with a single one-hot matmul on the MXU:
+# per-element gathers / take_along_axis on NSV(=15)-wide arrays are
+# lane-hostile on TPU (measured ~170ms of a 370ms emit); one
+# (cells, 256) @ (256, 120) matmul is ~free.
+_NSV = MAX_TRIS_PER_CELL * 3
+_CA_TAB = _EDGE_A[np.maximum(_TRI_FLAT, 0)]  # (256, NSV) corner id a
+_CB_TAB = _EDGE_B[np.maximum(_TRI_FLAT, 0)]
+_PA_TAB = np.asarray(CORNER_OFFSETS)[_CA_TAB]  # (256, NSV, 3)
+_PB_TAB = np.asarray(CORNER_OFFSETS)[_CB_TAB]
+_CASE_PACK = np.concatenate(
+    [
+        _CA_TAB,
+        _CB_TAB,
+        _PA_TAB.reshape(256, -1),
+        _PB_TAB.reshape(256, -1),
+    ],
+    axis=1,
+).astype(np.float32)  # (256, 8 * NSV)
+
 
 def _cell_cases(volume, level=0.0):
     """Case index per cell: bit c set iff corner c is inside (< level)."""
@@ -56,7 +76,9 @@ def count(volume, cell_mask, tile):
     reference's ``_skip``, ref sdf/core.py:28-43).  ``tile`` is the cell
     tile size (reference ``batch_size``, default 32).
 
-    Returns (total_triangles, per_tile_triangle_counts, active_cells).
+    Returns (total_triangles, per_tile_triangle_counts, active_cells,
+    case_codes); pass ``case_codes`` back into ``emit`` to skip
+    reclassification.
     """
     case = _cell_cases(volume)
     ntri = jnp.asarray(NTRI_TABLE)[case] * cell_mask.astype(jnp.int32)
@@ -66,11 +88,11 @@ def count(volume, cell_mask, tile):
     padded = jnp.pad(ntri, ((0, px), (0, py), (0, pz)))
     tx, ty, tz = (cx + px) // tile, (cy + py) // tile, (cz + pz) // tile
     per_tile = padded.reshape(tx, tile, ty, tile, tz, tile).sum(axis=(1, 3, 5))
-    return jnp.sum(ntri), per_tile, jnp.sum((ntri > 0).astype(jnp.int32))
+    return jnp.sum(ntri), per_tile, jnp.sum((ntri > 0).astype(jnp.int32)), case
 
 
 @partial(jax.jit, static_argnames=("capacity", "cell_capacity"))
-def emit(volume, cell_mask, capacity, cell_capacity=None):
+def emit(volume, cell_mask, capacity, cell_capacity=None, case=None):
     """Phase 2: triangle soup with a static ``capacity``.
 
     Returns ``(verts, n_tris)`` where ``verts`` is ``(capacity, 3, 3)`` in
@@ -89,7 +111,8 @@ def emit(volume, cell_mask, capacity, cell_capacity=None):
         # n_active_cells <= n_triangles, so the triangle capacity is a
         # safe (if generous) bound.
         cell_capacity = capacity
-    case = _cell_cases(volume)
+    if case is None:
+        case = _cell_cases(volume)
     ntri = jnp.asarray(NTRI_TABLE)[case] * cell_mask.astype(jnp.int32)
     cshape = case.shape
 
@@ -112,22 +135,27 @@ def emit(volume, cell_mask, capacity, cell_capacity=None):
         corner_vals.append(vflat[lin])
     corner_vals = jnp.stack(corner_vals, axis=-1)  # (cell_capacity, 8)
 
-    # All MAX_TRIS_PER_CELL slots per active cell, vectorized.
-    edges = jnp.asarray(_TRI_FLAT)[cell_case]  # (cell_capacity, MAX_TRIS*3)
-    tri_edges = jnp.maximum(edges, 0)  # padding slots: clamp, masked out
+    # All MAX_TRIS_PER_CELL slots per active cell, vectorized.  Per-case
+    # data (edge endpoints + their corner offsets) arrives via ONE one-hot
+    # matmul against the packed table (MXU) instead of per-element gathers.
+    onehot = jax.nn.one_hot(cell_case, 256, dtype=volume.dtype)
+    packed = jnp.dot(
+        onehot,
+        jnp.asarray(_CASE_PACK, dtype=volume.dtype),
+        preferred_element_type=volume.dtype,
+    )  # (cell_capacity, 8 * NSV)
+    ca = packed[:, 0:_NSV]
+    cb = packed[:, _NSV : 2 * _NSV]
+    pa = packed[:, 2 * _NSV : 5 * _NSV].reshape(cell_capacity, _NSV, 3)
+    pb = packed[:, 5 * _NSV : 8 * _NSV].reshape(cell_capacity, _NSV, 3)
 
-    # Interpolate each slot-vertex along its crossing edge.
-    ca = jnp.asarray(_EDGE_A)[tri_edges]  # (cell_capacity, MAX_TRIS*3)
-    cb = jnp.asarray(_EDGE_B)[tri_edges]
-    va = jnp.take_along_axis(corner_vals, ca, axis=1)
-    vb = jnp.take_along_axis(corner_vals, cb, axis=1)
+    # Corner values by 8-way elementwise select (branch-free, fused).
+    va = sum((ca == c) * corner_vals[:, c][:, None] for c in range(8))
+    vb = sum((cb == c) * corner_vals[:, c][:, None] for c in range(8))
     denom = va - vb
     t = va / jnp.where(denom == 0, 1.0, denom)  # zero crossing, level = 0
     t = jnp.clip(t, 0.0, 1.0)
 
-    offs = jnp.asarray(CORNER_OFFSETS, dtype=volume.dtype)  # (8, 3)
-    pa = offs[ca]  # (cell_capacity, MAX_TRIS*3, 3)
-    pb = offs[cb]
     base_pos = jnp.stack([ci, cj, ck], axis=-1).astype(volume.dtype)
     verts = base_pos[:, None, :] + pa + t[..., None] * (pb - pa)
     verts = verts.reshape(cell_capacity, MAX_TRIS_PER_CELL, 3, 3)

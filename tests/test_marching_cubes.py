@@ -24,7 +24,7 @@ def _triangulate_volume(volume, tile=32):
 
     vol = jnp.asarray(volume, dtype=jnp.float32)
     mask = jnp.ones(tuple(s - 1 for s in volume.shape), dtype=bool)
-    total, _, _ = mc.count(vol, mask, tile)
+    total, _, _, _ = mc.count(vol, mask, tile)
     n = int(total)
     if n == 0:
         return np.zeros((0, 3, 3))
