@@ -134,10 +134,12 @@ def _estimate_bounds_jit(sdf, dtype):
         threshold = jnp.linalg.norm(d) / 2
         vol = sdf(Points(X[:, None, None], Y[None, :, None], Z[None, None, :]))
         vol = jnp.broadcast_to(vol, (s, s, s))
-        # Tiny relative slack: probe points can land exactly on
-        # |d| == threshold in float32 (the canonical example model does);
-        # err on the side of keeping cells.
-        mask = jnp.abs(vol) <= threshold * (1 + 1e-4)
+        # Tiny relative slack in float32 only: probe points can land
+        # exactly on |d| == threshold (the canonical example model does);
+        # err on the side of keeping cells.  None at float64 so bounds
+        # match the reference bit-for-bit.
+        slack = 0.0 if jnp.dtype(dtype).itemsize >= 8 else 1e-4
+        mask = jnp.abs(vol) <= threshold * (1 + slack)
         empty = ~jnp.any(mask)
 
         idx = jnp.arange(s, dtype=dtype)

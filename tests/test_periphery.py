@@ -174,3 +174,20 @@ def test_checkpoint_resume(tmp_path):
     # different model -> fingerprint mismatch -> recompute, not stale load
     c = st.sphere(1.2).generate(samples=2**12, verbose=False, checkpoint=path)
     assert len(c) != len(a) or not np.array_equal(a, c)
+
+
+def test_bounds_estimation_matches_reference():
+    import jax.numpy as jnp
+    from sdf_tpu.core import engine
+    import sdf.core as refcore  # via ref_oracle sys.path
+
+    def build(m):
+        f = m.sphere(1) & m.box(1.5)
+        c = m.cylinder(0.5)
+        return f - (c.orient(m.X) | c.orient(m.Y) | c.orient(m.Z))
+
+    ours = np.asarray(engine._estimate_bounds(build(st), jnp.float64))
+    theirs = np.asarray(refcore._estimate_bounds(build(ref)))
+    # jnp.linspace and np.linspace differ by ~1 ulp; the 32 refinement
+    # iterations amplify that to ~1e-7, which is far below a grid step.
+    np.testing.assert_allclose(ours, theirs, rtol=1e-6, atol=1e-6)
