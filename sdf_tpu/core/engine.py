@@ -243,6 +243,7 @@ def generate(
     dtype=None,
     mesh=None,
     checkpoint=None,
+    use_pallas=None,
 ):
     """Sample the SDF on a dense grid and mesh it (ref sdf/core.py:84-150).
 
@@ -254,6 +255,9 @@ def generate(
     ``checkpoint=`` names a file that persists the result keyed on a
     fingerprint of the run configuration; a matching re-run resumes from
     it instead of recomputing (see sdf_tpu.utils.checkpoint).
+    ``use_pallas=`` selects the fused Pallas eval+classify kernel
+    (sdf_tpu.core.pallas_eval): None = on TPU with XLA fallback,
+    True = required (interpreted on CPU), False = XLA only.
     """
     start = time.time()
     dtype = dtype or jnp.float32
@@ -338,15 +342,35 @@ def generate(
             )
         bar.update(num_batches * 0.8)
     else:
-        with jax.profiler.TraceAnnotation("sdf_tpu.eval_volume"):
-            vol = _eval_volume(sdf_c, X, Y, Z, dtype)
+        backend = jax.default_backend()
+        if use_pallas is None:
+            use_pallas = "auto" if backend == "tpu" else False
+        vol = case = None
+        if use_pallas:
+            from . import pallas_eval
+
+            try:
+                with jax.profiler.TraceAnnotation("sdf_tpu.pallas_eval"):
+                    vol, case = pallas_eval.eval_and_classify(
+                        sdf_c, X, Y, Z, dtype, interpret=(backend != "tpu")
+                    )
+            except Exception:
+                # Expression not Mosaic-vectorizable (gathers etc.):
+                # fall back to the XLA path unless Pallas was required.
+                if use_pallas is not True:
+                    vol = case = None
+                else:
+                    raise
+        if vol is None:
+            with jax.profiler.TraceAnnotation("sdf_tpu.eval_volume"):
+                vol = _eval_volume(sdf_c, X, Y, Z, dtype)
         bar.update(num_batches * 0.6)
 
         cshape = (len(X) - 1, len(Y) - 1, len(Z) - 1)
         keep = _expand_tile_mask(jnp.asarray(~skip), s, cshape)
 
         with jax.profiler.TraceAnnotation("sdf_tpu.mc_count"):
-            total, per_tile, n_cells, case = mc.count(vol, keep, s)
+            total, per_tile, n_cells, case = mc.count(vol, keep, s, case)
         n = int(total)
         n_cells = int(n_cells)
         bar.update(num_batches * 0.8)

@@ -69,7 +69,7 @@ def _cell_cases(volume, level=0.0):
 
 
 @partial(jax.jit, static_argnames=("tile",))
-def count(volume, cell_mask, tile):
+def count(volume, cell_mask, tile, case=None):
     """Phase 1: per-cell triangle counts and per-tile totals.
 
     ``cell_mask`` zeroes cells culled by sparse tile skipping (the
@@ -78,9 +78,11 @@ def count(volume, cell_mask, tile):
 
     Returns (total_triangles, per_tile_triangle_counts, active_cells,
     case_codes); pass ``case_codes`` back into ``emit`` to skip
-    reclassification.
+    reclassification.  ``case=`` accepts precomputed codes (e.g. from the
+    fused Pallas eval+classify kernel).
     """
-    case = _cell_cases(volume)
+    if case is None:
+        case = _cell_cases(volume)
     ntri = jnp.asarray(NTRI_TABLE)[case] * cell_mask.astype(jnp.int32)
     cx, cy, cz = ntri.shape
     # Pad cells up to tile multiples, then reduce per tile.

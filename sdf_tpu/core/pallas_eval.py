@@ -1,0 +1,150 @@
+"""Fused Pallas evaluation + marching-cubes classification kernel.
+
+One kernel evaluates the SDF expression over a z-slab of the sample grid
+AND computes the per-cell marching-cubes case codes in the same pass, so
+the classification phase never re-reads the volume from HBM (XLA runs
+eval and count as separate programs with an HBM round trip between them).
+
+TPU layout notes (see /opt/skills/guides/pallas_guide.md):
+
+  * Blocks are laid out (bz, nx, ny) -- z on the grid dimension, y on the
+    128-wide lanes, x on sublanes.  A z-minor block would put the tiny z
+    extent on lanes and pad it to 128 (~16x VMEM waste).
+  * The +1 sample halo each cell slab needs is *recomputed* from
+    host-pre-sliced overlapping z-coordinate windows (Mosaic cannot prove
+    alignment of in-kernel dynamic slices) -- same
+    recompute-over-communicate choice as the sharded engine.
+  * The expression tree is ordinary jnp code traced into the kernel body;
+    Mosaic fuses it into vector loops, so deep CSG trees do not
+    materialize per-op VMEM temporaries.
+
+Expressions whose evaluation needs gathers (texture/mesh SDFs) are not
+Mosaic-vectorizable; ``eval_and_classify`` raises and callers fall back
+to the XLA path.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .node import Points
+
+# Corner bit b of a cell is set iff sample at offset CORNER_OFFSETS[b] is
+# inside (d < 0); order must match mc.CORNER_OFFSETS / the tri tables.
+from .mc_tables import CORNER_OFFSETS
+
+
+def _eval_root(root, p):
+    """Static kernel-side eval entry: the unflattened pytree IS the node."""
+    return root(p)
+
+
+def _kernel(x_ref, y_ref, z_ref, *rest, fn, treedef, scalar, bz, nx, ny):
+    param_refs = rest[:-2]
+    vol_ref, case_ref = rest[-2:]
+
+    # The full padded z-coordinate vector lives in SMEM (scalar memory
+    # supports dynamic indexing); assemble this block's bz+1 coordinates
+    # from unrolled scalar reads at a dynamic base offset.
+    i = pl.program_id(0)
+    # Assemble the (bz+1, 1, 1) z column from scalar reads with an iota
+    # select -- Mosaic cannot reshape a 1D vector to 3D.
+    kidx = jax.lax.broadcasted_iota(jnp.int32, (bz + 1, 1, 1), 0)
+    z = sum(
+        jnp.where(kidx == k, z_ref[0, i * bz + k], 0.0)
+        for k in range(bz + 1)
+    )
+    x = x_ref[...]
+    y = y_ref[...]
+
+    # Scalar leaves travel as (1,) blocks (TPU lowering requires rank>=1).
+    leaves = [
+        r[...][0] if is_scalar else r[...]
+        for r, is_scalar in zip(param_refs, scalar)
+    ]
+    params = jax.tree_util.tree_unflatten(treedef, leaves)
+    # SoA broadcast evaluation, (z, x, y) axis order for lane-friendliness.
+    p = Points(x[None, :, None], y[None, None, :], z)
+    d = jnp.broadcast_to(fn(params, p), (bz + 1, nx, ny))
+
+    vol_ref[...] = d[:bz]
+
+    inside = d < 0
+    case = jnp.zeros((bz, nx - 1, ny - 1), dtype=jnp.int32)
+    for b, (ox, oy, oz) in enumerate(np.asarray(CORNER_OFFSETS)):
+        corner = inside[oz : bz + oz, ox : nx - 1 + ox, oy : ny - 1 + oy]
+        case = case | (corner.astype(jnp.int32) << b)
+    case_ref[...] = case
+
+
+@partial(
+    jax.jit,
+    static_argnames=("fn", "treedef", "scalar", "nz", "bz", "interpret"),
+)
+def _call(leaves, X, Y, Zw, fn, treedef, scalar, nz, bz, interpret):
+    nx, ny = X.shape[0], Y.shape[0]
+    nchunks = (Zw.shape[1] - 1) // bz
+    kern = partial(
+        _kernel, fn=fn, treedef=treedef, scalar=scalar, bz=bz, nx=nx, ny=ny
+    )
+    full = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim)
+    zspec = pl.BlockSpec(Zw.shape, lambda i: (0, 0), memory_space=pltpu.SMEM)
+    vol_t, case_t = pl.pallas_call(
+        kern,
+        grid=(nchunks,),
+        in_specs=[full(X), full(Y), zspec] + [full(l) for l in leaves],
+        out_specs=(
+            pl.BlockSpec((bz, nx, ny), lambda i: (i, 0, 0)),
+            pl.BlockSpec((bz, nx - 1, ny - 1), lambda i: (i, 0, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nchunks * bz, nx, ny), X.dtype),
+            jax.ShapeDtypeStruct((nchunks * bz, nx - 1, ny - 1), jnp.int32),
+        ),
+        interpret=interpret,
+    )(X, Y, Zw, *leaves)
+    # (z, x, y) -> (x, y, z); trim z padding.
+    vol = jnp.moveaxis(vol_t, 0, 2)[:, :, :nz]
+    case = jnp.moveaxis(case_t, 0, 2)[:, :, : nz - 1]
+    return vol, case
+
+
+def eval_and_classify(sdf_c, X, Y, Z, dtype, bz=8, interpret=False):
+    """Evaluate + classify a dense grid in one fused Pallas pass.
+
+    sdf_c: dtype-cast SDF expression.  X/Y/Z: host float64 axis coords.
+    Returns (vol (nx,ny,nz), case (nx-1,ny-1,nz-1) int32) device arrays.
+    Raises if the expression does not vectorize (callers fall back to the
+    XLA path).
+    """
+    nx, ny, nz = len(X), len(Y), len(Z)
+    # Chunk over SAMPLES (nchunks * bz >= nz) so the last real sample is
+    # written by some block, not only read as a halo.  Padded samples
+    # repeat the last coordinate; padded cells are trimmed after.
+    nchunks = max(1, -(-nz // bz))
+    need = nchunks * bz + 1
+    Zp = np.concatenate([Z, np.full(need - nz, Z[-1])])
+    Zw = Zp[None, :]  # (1, nchunks*bz + 1), SMEM-resident in the kernel
+
+    leaves, treedef = jax.tree_util.tree_flatten(sdf_c)
+    leaves = [jnp.asarray(l, dtype=dtype) for l in leaves]
+    scalar = tuple(l.ndim == 0 for l in leaves)
+    leaves = [l.reshape(1) if l.ndim == 0 else l for l in leaves]
+    return _call(
+        tuple(leaves),
+        jnp.asarray(X, dtype=dtype),
+        jnp.asarray(Y, dtype=dtype),
+        jnp.asarray(Zw, dtype=dtype),
+        _eval_root,
+        treedef,
+        scalar,
+        nz,
+        bz,
+        interpret,
+    )

@@ -1,8 +1,6 @@
 """Text/image SDFs, mesh import -> SDF, IO formats, slices, progress."""
 
-import io
 import os
-import sys
 
 import numpy as np
 import pytest
