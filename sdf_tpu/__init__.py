@@ -105,6 +105,14 @@ from .ops.shapes2 import (
 
 from .ops.meshsdf import Mesh
 
+# Custom-SDF decorators (ref README.md:258-285) + module aliases matching
+# the names the reference's star-imports leak (ref sdf/__init__.py:1-27).
+from .core.node import sdf2, sdf3, op2, op3, op23, op32
+from .ops import csg as dn
+from .ops import meshsdf as mesh
+from .io import stl
+from .utils import progress, util
+
 from .ops.textures import (
     measure_image,
     measure_text,

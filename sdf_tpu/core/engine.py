@@ -39,6 +39,9 @@ BATCH_SIZE = 32
 
 _TARGET_CHUNK_POINTS = 2**22
 
+# Expression structures whose Pallas lowering failed (see generate()).
+_PALLAS_BROKEN = set()
+
 
 def _cartesian_product(*arrays):
     la = len(arrays)
@@ -349,18 +352,26 @@ def generate(
         if use_pallas:
             from . import pallas_eval
 
-            try:
-                with jax.profiler.TraceAnnotation("sdf_tpu.pallas_eval"):
-                    vol, case = pallas_eval.eval_and_classify(
-                        sdf_c, X, Y, Z, dtype, interpret=(backend != "tpu")
-                    )
-            except Exception:
-                # Expression not Mosaic-vectorizable (gathers etc.):
-                # fall back to the XLA path unless Pallas was required.
-                if use_pallas is not True:
-                    vol = case = None
-                else:
-                    raise
+            # Successful compiles are cached by jit, but FAILED compiles
+            # are retried on every call (each costing a full compile
+            # round trip); remember failures per expression structure.
+            key = jax.tree_util.tree_structure(sdf_c)
+            if key in _PALLAS_BROKEN and use_pallas is not True:
+                pass
+            else:
+                try:
+                    with jax.profiler.TraceAnnotation("sdf_tpu.pallas_eval"):
+                        vol, case = pallas_eval.eval_and_classify(
+                            sdf_c, X, Y, Z, dtype, interpret=(backend != "tpu")
+                        )
+                except Exception:
+                    # Expression not Mosaic-vectorizable (gathers etc.):
+                    # fall back to the XLA path unless Pallas was required.
+                    if use_pallas is not True:
+                        _PALLAS_BROKEN.add(key)
+                        vol = case = None
+                    else:
+                        raise
         if vol is None:
             with jax.profiler.TraceAnnotation("sdf_tpu.eval_volume"):
                 vol = _eval_volume(sdf_c, X, Y, Z, dtype)

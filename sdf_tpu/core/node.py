@@ -284,6 +284,53 @@ def node_k(node):
 
 # --- constructor decorators (ref sdf/d3.py:48-63, sdf/d2.py:40-55) ---------
 
+def _wrap_legacy(f):
+    """Adapt a reference-style closure ``f(points_array) -> distances``.
+
+    The reference documents custom SDFs as bare closures over (N, dim)
+    numpy arrays (ref README.md:258-285).  Three tiers, selected at trace
+    time by attempting each:
+
+      1. call with the SoA ``Points`` directly (works when the closure
+         sticks to arithmetic / indexing that Points supports),
+      2. materialize an (N, dim) jnp array and call with that (works for
+         jnp-based closures; pays the AoS layout cost),
+      3. ``jax.pure_callback`` to run the closure host-side in float64
+         numpy (full compatibility with verbatim reference closures, at
+         host speed).
+    """
+
+    def fn(q, p):
+        if not isinstance(p, Points):
+            return f(p)
+        try:
+            return f(p)
+        except Exception:
+            pass
+        shape = p.bshape
+        arr = jnp.stack(
+            [jnp.broadcast_to(c, shape).reshape(-1) for c in p.c], axis=-1
+        )
+        try:
+            return f(arr).reshape(shape)
+        except Exception:
+            pass
+
+        def host(a):
+            d = np.asarray(f(np.asarray(a, dtype=np.float64)))
+            return d.reshape(-1).astype(a.dtype)
+
+        res = jax.pure_callback(
+            host,
+            jax.ShapeDtypeStruct((arr.shape[0],), arr.dtype),
+            arr,
+            vmap_method="sequential",
+        )
+        return res.reshape(shape)
+
+    return fn
+
+
 def _make_ctor(cls, builder):
     @functools.wraps(builder)
     def wrapper(*args, **kwargs):
@@ -293,6 +340,10 @@ def _make_ctor(cls, builder):
             # intersection of planes, rotate_to -> rotate); pass the node
             # through unchanged.
             return out
+        if callable(out) and not isinstance(out, tuple):
+            # Reference-style builder returning a bare closure
+            # (ref README.md:258-285): no pytree params, closure captures.
+            return cls(_wrap_legacy(out), {})
         fn, params = out
         return cls(fn, params)
 
