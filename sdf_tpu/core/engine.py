@@ -354,11 +354,12 @@ def generate(
 
             # Successful compiles are cached by jit, but FAILED compiles
             # are retried on every call (each costing a full compile
-            # round trip); remember failures per expression structure.
-            key = jax.tree_util.tree_structure(sdf_c)
-            if key in _PALLAS_BROKEN and use_pallas is not True:
-                pass
-            else:
+            # round trip); remember failures per expression structure and
+            # dtype.  (Re-building the same expression yields a different
+            # treedef -- fn identities differ -- so rebuilt expressions
+            # still re-pay one failed compile each.)
+            key = (jax.tree_util.tree_structure(sdf_c), jnp.dtype(dtype))
+            if use_pallas is True or key not in _PALLAS_BROKEN:
                 try:
                     with jax.profiler.TraceAnnotation("sdf_tpu.pallas_eval"):
                         vol, case = pallas_eval.eval_and_classify(
@@ -367,11 +368,12 @@ def generate(
                 except Exception:
                     # Expression not Mosaic-vectorizable (gathers etc.):
                     # fall back to the XLA path unless Pallas was required.
-                    if use_pallas is not True:
-                        _PALLAS_BROKEN.add(key)
-                        vol = case = None
-                    else:
+                    if use_pallas is True:
                         raise
+                    if len(_PALLAS_BROKEN) > 256:
+                        _PALLAS_BROKEN.clear()
+                    _PALLAS_BROKEN.add(key)
+                    vol = case = None
         if vol is None:
             with jax.profiler.TraceAnnotation("sdf_tpu.eval_volume"):
                 vol = _eval_volume(sdf_c, X, Y, Z, dtype)

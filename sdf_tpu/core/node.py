@@ -284,12 +284,18 @@ def node_k(node):
 
 # --- constructor decorators (ref sdf/d3.py:48-63, sdf/d2.py:40-55) ---------
 
-def _wrap_legacy(f):
+# Exceptions that signal "this closure is incompatible with this calling
+# convention", as opposed to genuine bugs in the closure (NameError etc.),
+# which must propagate with their original traceback.
+_TIER_ERRORS = (TypeError, ValueError, AttributeError, IndexError)
+
+
+def _wrap_legacy(f, dim):
     """Adapt a reference-style closure ``f(points_array) -> distances``.
 
     The reference documents custom SDFs as bare closures over (N, dim)
-    numpy arrays (ref README.md:258-285).  Three tiers, selected at trace
-    time by attempting each:
+    numpy arrays (ref README.md:258-285).  Three tiers, selected on first
+    trace and memoized on the wrapper:
 
       1. call with the SoA ``Points`` directly (works when the closure
          sticks to arithmetic / indexing that Points supports),
@@ -298,24 +304,15 @@ def _wrap_legacy(f):
       3. ``jax.pure_callback`` to run the closure host-side in float64
          numpy (full compatibility with verbatim reference closures, at
          host speed).
+
+    Because legacy closures capture their parameters invisibly (no pytree
+    leaves), ``cast()`` cannot reach them; the output is cast to the
+    incoming coordinate dtype so captured float64 numpy constants do not
+    promote the surrounding fused expression.
     """
+    state = {"tier": None}
 
-    def fn(q, p):
-        if not isinstance(p, Points):
-            return f(p)
-        try:
-            return f(p)
-        except Exception:
-            pass
-        shape = p.bshape
-        arr = jnp.stack(
-            [jnp.broadcast_to(c, shape).reshape(-1) for c in p.c], axis=-1
-        )
-        try:
-            return f(arr).reshape(shape)
-        except Exception:
-            pass
-
+    def _tier3(arr, shape):
         def host(a):
             d = np.asarray(f(np.asarray(a, dtype=np.float64)))
             return d.reshape(-1).astype(a.dtype)
@@ -327,6 +324,38 @@ def _wrap_legacy(f):
             vmap_method="sequential",
         )
         return res.reshape(shape)
+
+    def fn(q, p):
+        if not isinstance(p, Points):
+            return f(p)
+        out_dtype = jnp.result_type(*[jnp.asarray(c).dtype for c in p.c])
+
+        def finish(d):
+            return jnp.asarray(d).astype(out_dtype)
+
+        if state["tier"] in (None, 0):
+            try:
+                out = finish(f(p))
+                state["tier"] = 0
+                return out
+            except _TIER_ERRORS:
+                pass
+        shape = p.bshape
+        arr = jnp.stack(
+            [jnp.broadcast_to(c, shape).reshape(-1) for c in p.c], axis=-1
+        )
+        if state["tier"] in (None, 1):
+            try:
+                out = finish(f(arr).reshape(shape))
+                state["tier"] = 1
+                return out
+            except _TIER_ERRORS + (jax.errors.TracerArrayConversionError,):
+                pass
+            # Surface genuine closure bugs eagerly with a clear traceback
+            # before committing to the host-callback tier.
+            f(np.zeros((2, dim)))
+            state["tier"] = 2
+        return finish(_tier3(arr, shape))
 
     return fn
 
@@ -340,10 +369,11 @@ def _make_ctor(cls, builder):
             # intersection of planes, rotate_to -> rotate); pass the node
             # through unchanged.
             return out
-        if callable(out) and not isinstance(out, tuple):
+        if callable(out):
             # Reference-style builder returning a bare closure
             # (ref README.md:258-285): no pytree params, closure captures.
-            return cls(_wrap_legacy(out), {})
+            dim = 2 if cls is SDF2 else 3
+            return cls(_wrap_legacy(out, dim), {})
         fn, params = out
         return cls(fn, params)
 

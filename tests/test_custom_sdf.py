@@ -73,3 +73,40 @@ def test_points_native_closure():
     f = torus_like()
     pts = f.generate(samples=2**12, verbose=False)
     assert len(pts) > 0
+
+
+def test_custom_closure_respects_dtype_cast():
+    # Legacy closures capture float64 numpy params invisibly; the wrapper
+    # must cast output to the coordinate dtype so the fused expression
+    # does not promote to float64 (code-review finding).
+    from sdf_tpu.core.node import Points, cast
+
+    @op3
+    def my_translate(other, offset):
+        def f(p):
+            return other(p - np.asarray(offset))
+
+        return f
+
+    node = cast(st.sphere(1).my_translate((0, 0, 2)), jnp.float32)
+    p = Points(
+        jnp.zeros((4,), jnp.float32),
+        jnp.zeros((4,), jnp.float32),
+        jnp.zeros((4,), jnp.float32),
+    )
+    assert node(p).dtype == jnp.float32
+
+
+def test_custom_closure_bug_surfaces_clearly():
+    # A genuine typo inside the closure must raise, not be silently
+    # routed to the host-callback tier (code-review finding).
+    @sdf3
+    def broken():
+        def f(p):
+            return np.linalg.nrom(p, axis=1)  # typo
+
+        return f
+
+    f = broken()
+    with __import__("pytest").raises(AttributeError):
+        f.generate(samples=2**9, verbose=False, use_pallas=False)
