@@ -38,8 +38,11 @@ def _extract(node, grid01, origin, step, capacity, shape):
     p = Points(X[:, None, None], Y[None, :, None], Z[None, None, :])
     vol = jnp.broadcast_to(node(p), shape)
     keep = jnp.ones((nx - 1, ny - 1, nz - 1), dtype=bool)
-    verts, n = mc.emit(vol, keep, capacity)
-    world = verts * step[None, None, :] + origin[None, None, :]
+    verts9, n = mc.emit(vol, keep, capacity)  # (9, capacity) SoA
+    sc = jnp.tile(step, 3)[:, None]
+    org = jnp.tile(origin, 3)[:, None]
+    world9 = verts9 * sc + org
+    world = world9.T.reshape(capacity, 3, 3)
     valid = jnp.arange(capacity) < n
     return world, n, valid
 

@@ -398,7 +398,10 @@ def generate(
                     vol, keep, capacity, cell_capacity, case
                 )
             n = int(n_tris)
-            verts = np.asarray(dverts[:n], dtype=np.float64).reshape(-1, 3)
+            # (9, n) SoA columns -> (3n, 3) vertex rows (see mc.emit).
+            verts = (
+                np.asarray(dverts[:, :n], dtype=np.float64).T.reshape(-1, 3)
+            )
 
     scale = np.array([dx, dy, dz])
     offset = np.array([X[0], Y[0], Z[0]])

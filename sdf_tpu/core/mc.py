@@ -37,25 +37,14 @@ _TRI_FLAT = TRI_TABLE.reshape(256, -1)  # (256, MAX_TRIS * 3)
 _EDGE_A = EDGE_CORNERS[:, 0]
 _EDGE_B = EDGE_CORNERS[:, 1]
 
-# Everything that depends only on (case, slot-vertex) is precomputed into
-# one (256, 8*NSV) table fetched with a single one-hot matmul on the MXU:
-# per-element gathers / take_along_axis on NSV(=15)-wide arrays are
-# lane-hostile on TPU (measured ~170ms of a 370ms emit); one
-# (cells, 256) @ (256, 120) matmul is ~free.
+# Per-(case, slot-vertex) edge-endpoint corner ids, transposed so a row is
+# indexed by case code with ONE lane-friendly gather per slot-vertex.
+# (take_along_axis on NSV(=15)-wide arrays is lane-hostile: the minor dim
+# pads 15 -> 128.  Everything in emit keeps the big dimension minor.)
 _NSV = MAX_TRIS_PER_CELL * 3
-_CA_TAB = _EDGE_A[np.maximum(_TRI_FLAT, 0)]  # (256, NSV) corner id a
-_CB_TAB = _EDGE_B[np.maximum(_TRI_FLAT, 0)]
-_PA_TAB = np.asarray(CORNER_OFFSETS)[_CA_TAB]  # (256, NSV, 3)
-_PB_TAB = np.asarray(CORNER_OFFSETS)[_CB_TAB]
-_CASE_PACK = np.concatenate(
-    [
-        _CA_TAB,
-        _CB_TAB,
-        _PA_TAB.reshape(256, -1),
-        _PB_TAB.reshape(256, -1),
-    ],
-    axis=1,
-).astype(np.float32)  # (256, 8 * NSV)
+_CA_T = _EDGE_A[np.maximum(_TRI_FLAT, 0)].T.copy()  # (NSV, 256) corner id a
+_CB_T = _EDGE_B[np.maximum(_TRI_FLAT, 0)].T.copy()
+_OFFS = np.asarray(CORNER_OFFSETS, dtype=np.float64)  # (8, 3)
 
 
 def _cell_cases(volume, level=0.0):
@@ -97,8 +86,16 @@ def count(volume, cell_mask, tile, case=None):
 def emit(volume, cell_mask, capacity, cell_capacity=None, case=None):
     """Phase 2: triangle soup with a static ``capacity``.
 
-    Returns ``(verts, n_tris)`` where ``verts`` is ``(capacity, 3, 3)`` in
-    fractional index coordinates; rows ``[0:n_tris]`` are valid.
+    Returns ``(verts, n_tris)`` where ``verts`` is ``(9, capacity)`` in
+    fractional index coordinates -- row ``v * 3 + c`` holds component c of
+    vertex v, so the host reconstructs triangles with
+    ``verts[:, :n].T.reshape(-1, 3)``; columns ``[0:n_tris]`` are valid.
+
+    Layout discipline: every big intermediate is a 1D ``(cell_capacity,)``
+    (or ``(5 * cell_capacity,)``) array.  Any (N, k) array with tiny k
+    pads its minor dim onto the 128 vector lanes -- a (capacity, 3, 3)
+    output tiles as (4, 128) per triangle, a 42x blowup that OOMed HBM at
+    2^26 grids (21.5 GB for 4M triangles).
 
     Two-level compaction: ``flatnonzero`` on TPU is sort-based, so
     compacting at (cell, slot) granularity costs O(5 * ncells log) -- the
@@ -128,39 +125,38 @@ def emit(volume, cell_mask, capacity, cell_capacity=None, case=None):
     cell_case = case.reshape(-1)[cell_idx]
     cell_ntri = jnp.where(cell_live, ntri.reshape(-1)[cell_idx], 0)
 
-    # Gather the 8 corner values of each active cell.
+    # The 8 corner values of each active cell, as separate 1D arrays.
     nx, ny, nz = volume.shape
     vflat = volume.reshape(-1)
-    corner_vals = []
+    corner = []
     for ox, oy, oz in np.asarray(CORNER_OFFSETS):
         lin = ((ci + ox) * ny + (cj + oy)) * nz + (ck + oz)
-        corner_vals.append(vflat[lin])
-    corner_vals = jnp.stack(corner_vals, axis=-1)  # (cell_capacity, 8)
+        corner.append(vflat[lin])
+    base = (ci.astype(volume.dtype), cj.astype(volume.dtype),
+            ck.astype(volume.dtype))
 
-    # All MAX_TRIS_PER_CELL slots per active cell, vectorized.  Per-case
-    # data (edge endpoints + their corner offsets) arrives via ONE one-hot
-    # matmul against the packed table (MXU) instead of per-element gathers.
-    onehot = jax.nn.one_hot(cell_case, 256, dtype=volume.dtype)
-    packed = jnp.dot(
-        onehot,
-        jnp.asarray(_CASE_PACK, dtype=volume.dtype),
-        preferred_element_type=volume.dtype,
-    )  # (cell_capacity, 8 * NSV)
-    ca = packed[:, 0:_NSV]
-    cb = packed[:, _NSV : 2 * _NSV]
-    pa = packed[:, 2 * _NSV : 5 * _NSV].reshape(cell_capacity, _NSV, 3)
-    pb = packed[:, 5 * _NSV : 8 * _NSV].reshape(cell_capacity, _NSV, 3)
-
-    # Corner values by 8-way elementwise select (branch-free, fused).
-    va = sum((ca == c) * corner_vals[:, c][:, None] for c in range(8))
-    vb = sum((cb == c) * corner_vals[:, c][:, None] for c in range(8))
-    denom = va - vb
-    t = va / jnp.where(denom == 0, 1.0, denom)  # zero crossing, level = 0
-    t = jnp.clip(t, 0.0, 1.0)
-
-    base_pos = jnp.stack([ci, cj, ck], axis=-1).astype(volume.dtype)
-    verts = base_pos[:, None, :] + pa + t[..., None] * (pb - pa)
-    verts = verts.reshape(cell_capacity, MAX_TRIS_PER_CELL, 3, 3)
+    # Per slot-vertex: one tiny (256,) table gather per endpoint, 8-way
+    # masked selects for the corner values AND the (constant) corner
+    # offsets -- everything stays (cell_capacity,) 1D.
+    ca_t = jnp.asarray(_CA_T)
+    cb_t = jnp.asarray(_CB_T)
+    offs = _OFFS
+    comp = [[None] * 9 for _ in range(MAX_TRIS_PER_CELL)]  # [slot][v*3+c]
+    for k in range(_NSV):
+        s, v = divmod(k, 3)
+        ca_k = ca_t[k][cell_case]
+        cb_k = cb_t[k][cell_case]
+        ma = [(ca_k == c) for c in range(8)]
+        mb = [(cb_k == c) for c in range(8)]
+        va = sum(jnp.where(m, corner[c], 0.0) for c, m in enumerate(ma))
+        vb = sum(jnp.where(m, corner[c], 0.0) for c, m in enumerate(mb))
+        denom = va - vb
+        t = va / jnp.where(denom == 0, 1.0, denom)  # zero crossing, lvl 0
+        t = jnp.clip(t, 0.0, 1.0)
+        for c in range(3):
+            pa = sum(jnp.where(m, offs[cc, c], 0.0) for cc, m in enumerate(ma))
+            pb = sum(jnp.where(m, offs[cc, c], 0.0) for cc, m in enumerate(mb))
+            comp[s][v * 3 + c] = base[c] + pa + t * (pb - pa)
 
     # --- level 2: compact live slots (small: cell_capacity * 5) -------
     slot_valid = (
@@ -169,5 +165,13 @@ def emit(volume, cell_mask, capacity, cell_capacity=None, case=None):
     ).reshape(-1)
     tri_idx = jnp.flatnonzero(slot_valid, size=capacity, fill_value=0)
     n_tris = jnp.sum(slot_valid.astype(jnp.int32))
-    out = verts.reshape(-1, 3, 3)[tri_idx]
-    return out, n_tris
+    # tri_idx is cell-major (cell*5 + slot); the staging arrays below are
+    # slot-major blocks, so remap.
+    g_idx = (tri_idx % MAX_TRIS_PER_CELL) * cell_capacity + (
+        tri_idx // MAX_TRIS_PER_CELL
+    )
+    rows = []
+    for j in range(9):
+        staged = jnp.concatenate([comp[s][j] for s in range(MAX_TRIS_PER_CELL)])
+        rows.append(staged[g_idx])
+    return jnp.stack(rows, axis=0), n_tris

@@ -133,17 +133,21 @@ def _phase_count(sdf, X, Y, Zs, keep_xy, mesh, c, ncz, tile, n_z_tiles, chunk_po
 def _phase_emit(vol, keep_xy, mesh, c, ncz, tile, capacity, cell_capacity):
     """Sharded phase 2: per-slab marching cubes into fixed-size buffers.
 
-    Returns (verts, counts): verts (ndev, capacity, 3, 3) in *global*
-    fractional index coordinates; counts (ndev,) valid triangle counts.
+    Returns (verts, counts): verts (ndev, 9, capacity) SoA triangles (see
+    mc.emit) in *global* fractional index coordinates; counts (ndev,)
+    valid triangle counts.
     """
 
     def body(vol, keep_xy):
         vol = vol[0]
         mask = _local_cell_mask(keep_xy, c, ncz, tile, AXIS)
-        verts, n = mc.emit(vol, mask, capacity, cell_capacity)
+        verts, n = mc.emit(vol, mask, capacity, cell_capacity)  # (9, cap)
         dev = jax.lax.axis_index(AXIS)
-        # Local slab cell 0 is global cell dev*c: shift z to global index space.
-        verts = verts.at[..., 2].add((dev * c).astype(verts.dtype))
+        # Local slab cell 0 is global cell dev*c: shift the z components
+        # (rows v*3+2) to global index space.
+        verts = verts.at[jnp.array([2, 5, 8]), :].add(
+            (dev * c).astype(verts.dtype)
+        )
         return verts[None], n[None]
 
     return jax.shard_map(
@@ -204,6 +208,9 @@ def mesh_and_march(sdf_c, X, Y, Z, skip, tile, mesh, dtype, chunk_points=2**22):
         vol, keep_d, mesh, c, ncz, tile, capacity, cell_capacity
     )
     counts = np.asarray(counts)
-    verts = np.asarray(verts, dtype=np.float64)
-    out = np.concatenate([verts[i, : counts[i]] for i in range(ndev)], axis=0)
-    return out.reshape(-1, 3), np.asarray(per_tile)
+    verts = np.asarray(verts, dtype=np.float64)  # (ndev, 9, capacity)
+    out = np.concatenate(
+        [verts[i, :, : counts[i]].T.reshape(-1, 3) for i in range(ndev)],
+        axis=0,
+    )
+    return out, np.asarray(per_tile)

@@ -29,8 +29,11 @@ def _triangulate_volume(volume, tile=32):
     if n == 0:
         return np.zeros((0, 3, 3))
     capacity = 1 << (n - 1).bit_length()
-    verts, n_tris = mc.emit(vol, mask, capacity)
-    return np.asarray(verts[: int(n_tris)], dtype=np.float64)
+    verts, n_tris = mc.emit(vol, mask, capacity)  # (9, capacity) SoA
+    return (
+        np.asarray(verts[:, : int(n_tris)], dtype=np.float64)
+        .T.reshape(-1, 3, 3)
+    )
 
 
 def _edge_multiset(tris_idx):
