@@ -42,6 +42,30 @@ _TARGET_CHUNK_POINTS = 2**22
 # Expression structures whose Pallas lowering failed (see generate()).
 _PALLAS_BROKEN = set()
 
+# Structured report of the most recent generate() (phase wall times in
+# seconds + batch/triangle counters).  The reference only prints
+# (ref sdf/core.py:105-148); this keeps the numbers programmatic.
+LAST_STATS = {}
+
+
+class _phase:
+    """Context manager: profiler trace annotation + LAST_STATS timing."""
+
+    def __init__(self, name, stats):
+        self.name = name
+        self.stats = stats
+
+    def __enter__(self):
+        self.t0 = time.time()
+        self.ann = jax.profiler.TraceAnnotation("sdf_tpu." + self.name)
+        self.ann.__enter__()
+        return self
+
+    def __exit__(self, *exc):
+        self.ann.__exit__(*exc)
+        self.stats[self.name] = round(time.time() - self.t0, 4)
+        return False
+
 
 def _cartesian_product(*arrays):
     la = len(arrays)
@@ -264,6 +288,7 @@ def generate(
     """
     start = time.time()
     dtype = dtype or jnp.float32
+    stats = {}
 
     if mesh is None and len(jax.devices()) > 1:
         from ..parallel import grid as pgrid
@@ -271,7 +296,7 @@ def generate(
         mesh = pgrid.make_mesh()
 
     if bounds is None:
-        with jax.profiler.TraceAnnotation("sdf_tpu.bounds"):
+        with _phase("bounds", stats):
             bounds = _estimate_bounds(sdf, dtype)
     (x0, y0, z0), (x1, y1, z1) = bounds
 
@@ -326,7 +351,7 @@ def generate(
                 print("resumed %d triangles from %s" % (len(cached) // 3, checkpoint))
             return cached
 
-    with jax.profiler.TraceAnnotation("sdf_tpu.skip_mask"):
+    with _phase("skip_mask", stats):
         skip = (
             _skip_mask(sdf_c, X, Y, Z, s, dtype)
             if sparse
@@ -339,7 +364,7 @@ def generate(
     if mesh is not None and mesh.devices.size > 1:
         from ..parallel import grid as pgrid
 
-        with jax.profiler.TraceAnnotation("sdf_tpu.mesh_and_march"):
+        with _phase("mesh_and_march", stats):
             verts, per_tile = pgrid.mesh_and_march(
                 sdf_c, X, Y, Z, skip, s, mesh, dtype
             )
@@ -361,7 +386,7 @@ def generate(
             key = (jax.tree_util.tree_structure(sdf_c), jnp.dtype(dtype))
             if use_pallas is True or key not in _PALLAS_BROKEN:
                 try:
-                    with jax.profiler.TraceAnnotation("sdf_tpu.pallas_eval"):
+                    with _phase("pallas_eval", stats):
                         vol, case = pallas_eval.eval_and_classify(
                             sdf_c, X, Y, Z, dtype, interpret=(backend != "tpu")
                         )
@@ -375,14 +400,14 @@ def generate(
                     _PALLAS_BROKEN.add(key)
                     vol = case = None
         if vol is None:
-            with jax.profiler.TraceAnnotation("sdf_tpu.eval_volume"):
+            with _phase("eval_volume", stats):
                 vol = _eval_volume(sdf_c, X, Y, Z, dtype)
         bar.update(num_batches * 0.6)
 
         cshape = (len(X) - 1, len(Y) - 1, len(Z) - 1)
         keep = _expand_tile_mask(jnp.asarray(~skip), s, cshape)
 
-        with jax.profiler.TraceAnnotation("sdf_tpu.mc_count"):
+        with _phase("mc_count", stats):
             total, per_tile, n_cells, case = mc.count(vol, keep, s, case)
         n = int(total)
         n_cells = int(n_cells)
@@ -393,7 +418,7 @@ def generate(
         else:
             capacity = 1 << (n - 1).bit_length()
             cell_capacity = 1 << max(0, n_cells - 1).bit_length()
-            with jax.profiler.TraceAnnotation("sdf_tpu.mc_emit"):
+            with _phase("mc_emit", stats):
                 dverts, n_tris = mc.emit(
                     vol, keep, capacity, cell_capacity, case
                 )
@@ -413,20 +438,31 @@ def generate(
 
         ckpt.save(checkpoint, fp, points)
 
+    # per_tile is sized on cell tiles, which can be one short of the
+    # sample-tile grid when an axis has a degenerate 1-sample last tile.
+    pt = np.zeros(skip.shape, dtype=np.int64)
+    a, b, c = np.asarray(per_tile).shape
+    pt[:a, :b, :c] = np.asarray(per_tile)[
+        : skip.shape[0], : skip.shape[1], : skip.shape[2]
+    ]
+    skipped = int(skip.sum())
+    nonempty = int(((pt > 0) & ~skip).sum())
+    empty = num_batches - skipped - nonempty
+    triangles = len(points) // 3
+    seconds = time.time() - start
+    stats.update(
+        batches=num_batches,
+        samples=num_samples,
+        skipped=skipped,
+        empty=empty,
+        nonempty=nonempty,
+        triangles=triangles,
+        total=round(seconds, 4),
+    )
+    LAST_STATS.clear()
+    LAST_STATS.update(stats)
     if verbose:
-        # per_tile is sized on cell tiles, which can be one short of the
-        # sample-tile grid when an axis has a degenerate 1-sample last tile.
-        pt = np.zeros(skip.shape, dtype=np.int64)
-        a, b, c = np.asarray(per_tile).shape
-        pt[:a, :b, :c] = np.asarray(per_tile)[
-            : skip.shape[0], : skip.shape[1], : skip.shape[2]
-        ]
-        skipped = int(skip.sum())
-        nonempty = int(((pt > 0) & ~skip).sum())
-        empty = num_batches - skipped - nonempty
         print("%d skipped, %d empty, %d nonempty" % (skipped, empty, nonempty))
-        triangles = len(points) // 3
-        seconds = time.time() - start
         print("%d triangles in %g seconds" % (triangles, seconds))
 
     return points
