@@ -33,7 +33,11 @@ from ..io import stl
 from . import mc
 from .node import Points, cast
 
-WORKERS = len(jax.devices())
+# None = "all visible devices", resolved at call time: touching
+# jax.devices() at import would initialize the XLA backend and break
+# jax.distributed.initialize() for multi-host users (ref WORKERS is
+# cpu_count(), sdf/core.py:12).
+WORKERS = None
 SAMPLES = 2**22
 BATCH_SIZE = 32
 

@@ -54,7 +54,12 @@ def read_mesh(path):
         import meshio
 
         m = meshio.read(path)
-        return m.points, m.cells[0].data
+        # Pick the triangle block: files may carry line/quad/etc blocks
+        # first (code-review finding).
+        for block in m.cells:
+            if block.type == "triangle":
+                return m.points, block.data
+        raise ValueError(f"no triangle cells in {path!r}")
     except ImportError:
         pass
     if lower.endswith(".obj"):

@@ -51,7 +51,6 @@ def read_binary_stl(path):
         ]
     )
     a = np.frombuffer(data[84 : 84 + n * dtype.itemsize], dtype=dtype)
-    soup = a["points"].reshape(-1, 3).astype(np.float64)
-    points, inverse = np.unique(soup, axis=0, return_inverse=True)
-    triangles = inverse.reshape(-1, 3)
-    return points, triangles
+    from . import meshfmt
+
+    return meshfmt.dedup(a["points"].reshape(-1, 3).astype(np.float64))

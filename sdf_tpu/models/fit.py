@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import PartitionSpec as P
 
 from ..core.node import cast
@@ -56,6 +57,7 @@ def make_sharded_fit_step(mesh, axis_name=AXIS):
     n_dev = mesh.shape[axis_name]
 
     def body(node, points, target):
+        # (shard_map has already split the batch here; validation below.)
         def local_loss(node):
             d = node(points)[:, 0]
             # Normalize by the GLOBAL point count: the backward pass w.r.t.
@@ -76,9 +78,17 @@ def make_sharded_fit_step(mesh, axis_name=AXIS):
     )
 
     @jax.jit
-    def step(node, points, target, lr):
+    def _step(node, points, target, lr):
         grads, loss = sharded(node, points, target)
         return _sgd(node, grads, lr), loss
+
+    def step(node, points, target, lr):
+        if points.shape[0] % n_dev:
+            raise ValueError(
+                f"point batch of {points.shape[0]} does not divide over the "
+                f"{n_dev}-device mesh; pad or trim to a multiple of {n_dev}"
+            )
+        return _step(node, points, target, lr)
 
     return step
 
@@ -89,9 +99,16 @@ def fit(builder, target_sdf, points, steps=100, lr=1e-2, dtype=jnp.float32,
 
     builder: an SDF expression (the initial model).  target_sdf: an SDF
     expression or callable producing target distances at ``points``.
+    With ``mesh=`` the batch is trimmed to a multiple of the mesh size.
     Returns (fitted_node, final_loss).
     """
     node = cast(builder, dtype)
+    points = np.asarray(points)
+    if mesh is not None:
+        # Trim to a shardable multiple of the mesh size (documented).
+        n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+        n = (points.shape[0] // n_dev) * n_dev
+        points = points[:n]
     p = jnp.asarray(points, dtype=dtype)
     t = jnp.asarray(target_sdf(points), dtype=dtype).reshape(-1)
     lr = jnp.asarray(lr, dtype=dtype)

@@ -116,13 +116,24 @@ def _phase_count(sdf, X, Y, Zs, keep_xy, mesh, c, ncz, tile, n_z_tiles, chunk_po
         )
         per_tile = jnp.moveaxis(per_tile, 0, 2)
         per_tile = jax.lax.psum(per_tile, AXIS)
-        return vol[None], total[None], ncell[None], per_tile
+        # Global maxima (replicated): every host must agree on the static
+        # emit capacities without reading remote shards.
+        gmax_t = jax.lax.pmax(total, AXIS)
+        gmax_c = jax.lax.pmax(ncell, AXIS)
+        return (
+            vol[None],
+            case[None],
+            total[None],
+            gmax_t,
+            gmax_c,
+            per_tile,
+        )
 
     return jax.shard_map(
         body,
         mesh=mesh,
         in_specs=(P(), P(), P(AXIS), P()),
-        out_specs=(P(AXIS), P(AXIS), P(AXIS), P()),
+        out_specs=(P(AXIS), P(AXIS), P(AXIS), P(), P(), P()),
     )(X, Y, Zs, keep_xy)
 
 
@@ -130,18 +141,20 @@ def _phase_count(sdf, X, Y, Zs, keep_xy, mesh, c, ncz, tile, n_z_tiles, chunk_po
     jax.jit,
     static_argnames=("mesh", "c", "ncz", "tile", "capacity", "cell_capacity"),
 )
-def _phase_emit(vol, keep_xy, mesh, c, ncz, tile, capacity, cell_capacity):
+def _phase_emit(vol, case, keep_xy, mesh, c, ncz, tile, capacity, cell_capacity):
     """Sharded phase 2: per-slab marching cubes into fixed-size buffers.
 
     Returns (verts, counts): verts (ndev, 9, capacity) SoA triangles (see
     mc.emit) in *global* fractional index coordinates; counts (ndev,)
-    valid triangle counts.
+    valid triangle counts.  ``case`` is phase 1's classification, reused
+    instead of re-running _cell_cases over the resident slab.
     """
 
-    def body(vol, keep_xy):
+    def body(vol, case, keep_xy):
         vol = vol[0]
+        case = case[0]
         mask = _local_cell_mask(keep_xy, c, ncz, tile, AXIS)
-        verts, n = mc.emit(vol, mask, capacity, cell_capacity)  # (9, cap)
+        verts, n = mc.emit(vol, mask, capacity, cell_capacity, case)  # (9, cap)
         dev = jax.lax.axis_index(AXIS)
         # Local slab cell 0 is global cell dev*c: shift the z components
         # (rows v*3+2) to global index space.
@@ -153,9 +166,9 @@ def _phase_emit(vol, keep_xy, mesh, c, ncz, tile, capacity, cell_capacity):
     return jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(P(AXIS), P()),
+        in_specs=(P(AXIS), P(AXIS), P()),
         out_specs=(P(AXIS), P(AXIS)),
-    )(vol, keep_xy)
+    )(vol, case, keep_xy)
 
 
 def mesh_and_march(sdf_c, X, Y, Z, skip, tile, mesh, dtype, chunk_points=2**22):
@@ -191,26 +204,39 @@ def mesh_and_march(sdf_c, X, Y, Z, skip, tile, mesh, dtype, chunk_points=2**22):
     Zsd = jnp.asarray(Zs, dtype=dtype)
     keep_d = jnp.asarray(keep_xy)
 
-    vol, totals, ncells, per_tile = _phase_count(
+    vol, case, totals, gmax_t, gmax_c, per_tile = _phase_count(
         sdf_c, Xd, Yd, Zsd, keep_d, mesh, c, ncz, tile,
         keep.shape[2], chunk_points,
     )
-    totals = np.asarray(totals)
-    ncells = np.asarray(ncells)
-    nmax = int(totals.max()) if totals.size else 0
+    # gmax_* are replicated (pmax over the mesh), so every host derives
+    # identical static capacities without touching remote shards.
+    nmax = int(gmax_t)
 
     if nmax == 0:
         return np.zeros((0, 3), dtype=np.float64), np.asarray(per_tile)
 
     capacity = 1 << (nmax - 1).bit_length()
-    cell_capacity = 1 << max(0, int(ncells.max()) - 1).bit_length()
+    cell_capacity = 1 << max(0, int(gmax_c) - 1).bit_length()
     verts, counts = _phase_emit(
-        vol, keep_d, mesh, c, ncz, tile, capacity, cell_capacity
+        vol, case, keep_d, mesh, c, ncz, tile, capacity, cell_capacity
     )
-    counts = np.asarray(counts)
-    verts = np.asarray(verts, dtype=np.float64)  # (ndev, 9, capacity)
-    out = np.concatenate(
-        [verts[i, :, : counts[i]].T.reshape(-1, 3) for i in range(ndev)],
-        axis=0,
+    # Read back only this host's addressable shards: on a pod slice the
+    # other hosts' slabs are not locally fetchable (each host returns its
+    # local soup; assemble across hosts with parallel.gather_triangles).
+    cnt = {}
+    for s in counts.addressable_shards:
+        i = s.index[0].start or 0
+        cnt[i] = int(np.asarray(s.data)[0])
+    parts = []
+    for s in sorted(
+        verts.addressable_shards, key=lambda s: s.index[0].start or 0
+    ):
+        i = s.index[0].start or 0
+        v = np.asarray(s.data, dtype=np.float64)[0]  # (9, capacity)
+        parts.append(v[:, : cnt[i]].T.reshape(-1, 3))
+    out = (
+        np.concatenate(parts, axis=0)
+        if parts
+        else np.zeros((0, 3), dtype=np.float64)
     )
     return out, np.asarray(per_tile)

@@ -5,16 +5,15 @@ The reference's only "backend" is a single-process ThreadPool
 devices; this module wraps the jax.distributed runtime so a multi-host
 ``generate`` run works like the single-host one:
 
-  * ``initialize()`` -- one call per process (reads cluster env when
-    launched under a standard TPU runtime).
-  * z-slabs are assigned per *global* device by sdf_tpu.parallel.grid, so
-    each host computes only its local slabs; collectives ride ICI within
-    a slice and DCN across slices, inserted by XLA from the shard_map
-    specs.
-  * ``gather_triangles(local)`` -- variable-length all-gather of each
-    host's compacted triangle soup (counts via process_allgather, then a
-    padded gather), so process 0 can write the STL
-    (``write_on_process0``).
+  * ``initialize()`` -- one call per process, BEFORE any other jax use
+    (reads cluster env when launched under a standard TPU runtime).
+  * z-slabs are assigned per *global* device by sdf_tpu.parallel.grid;
+    each host computes only its local slabs and reads back only its
+    addressable shards; collectives ride ICI within a slice and DCN
+    across slices, inserted by XLA from the shard_map specs.
+  * ``gather_triangles(local)`` -- variable-length, bit-exact all-gather
+    of each host's compacted float64 triangle soup, so process 0 can
+    write the mesh (``write_on_process0``).
 """
 
 from __future__ import annotations
@@ -24,37 +23,63 @@ import numpy as np
 
 
 def initialize(**kwargs):
-    """Bring up the jax.distributed runtime (no-op if single process)."""
-    if jax.process_count() > 1 or kwargs:
+    """Bring up the jax.distributed runtime (call before other jax use).
+
+    jax.distributed.initialize must run before the XLA backend is
+    created; importing sdf_tpu does not touch the backend, but any
+    jax.devices()/jit call does.  Raises instead of silently proceeding
+    single-process when bring-up cannot happen.
+    """
+    import jax._src.xla_bridge as xb
+
+    already = xb.backends() if hasattr(xb, "backends") else {}
+    if kwargs:
+        if already:
+            raise RuntimeError(
+                "sdf_tpu.parallel.initialize(...) must be called before the "
+                "JAX backend initializes (before any jax.devices()/jit use)"
+            )
+        jax.distributed.initialize(**kwargs)
+    else:
+        # Env-driven bring-up (TPU pod runtimes set the cluster env);
+        # harmless single-process no-op when no cluster env is present.
         try:
-            jax.distributed.initialize(**kwargs)
-        except RuntimeError:
-            pass  # already initialized
+            jax.distributed.initialize()
+        except Exception:
+            pass
     return jax.process_index(), jax.process_count()
 
 
 def gather_triangles(local_points):
     """All-gather per-host triangle soups -> full (3T, 3) float64 array.
 
-    local_points: this host's (3t_i, 3) vertex soup.  Hosts may hold
-    different counts; rows are padded to the max count for the fixed-shape
-    collective and trimmed after.
+    local_points: this host's (3t_i, 3) float64 vertex soup.  Hosts may
+    hold different counts; rows are padded to the max count for the
+    fixed-shape collective and trimmed after.  Vertices travel as raw
+    float64 bit patterns (viewed as uint32 pairs -- TPU arrays cannot
+    hold float64), so the gathered soup is bit-exact.
     """
     from jax.experimental import multihost_utils
 
+    local_points = np.ascontiguousarray(local_points, dtype=np.float64)
     if jax.process_count() == 1:
-        return np.asarray(local_points, dtype=np.float64)
+        return local_points
 
-    local_points = np.asarray(local_points, dtype=np.float32)
     counts = multihost_utils.process_allgather(
         np.asarray([local_points.shape[0]], dtype=np.int64)
     ).reshape(-1)
     cap = int(counts.max())
-    padded = np.zeros((cap, 3), dtype=np.float32)
-    padded[: local_points.shape[0]] = local_points
-    gathered = multihost_utils.process_allgather(padded)  # (nproc, cap, 3)
-    parts = [gathered[i, : counts[i]] for i in range(gathered.shape[0])]
-    return np.concatenate(parts, axis=0).astype(np.float64)
+    bits = np.zeros((cap, 6), dtype=np.uint32)
+    if local_points.size:
+        bits[: local_points.shape[0]] = local_points.view(np.uint32).reshape(
+            -1, 6
+        )
+    gathered = multihost_utils.process_allgather(bits)  # (nproc, cap, 6)
+    parts = [
+        gathered[i, : counts[i]].view(np.float64).reshape(-1, 3)
+        for i in range(gathered.shape[0])
+    ]
+    return np.concatenate(parts, axis=0)
 
 
 def write_on_process0(path, points):

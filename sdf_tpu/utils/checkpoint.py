@@ -21,13 +21,21 @@ import numpy as np
 def fingerprint(sdf, X, Y, Z, sparse):
     """Stable hash of the run configuration: grid + expression pytree."""
     h = hashlib.sha256()
+
+    def feed(a):
+        a = np.ascontiguousarray(np.asarray(a))
+        # Shape/dtype prefix: raw byte concatenation is boundary-blind
+        # (X=[0,1,2],Y=[3,4] would collide with X=[0,1],Y=[2,3,4]).
+        h.update(repr((a.shape, a.dtype.str)).encode())
+        h.update(a.tobytes())
+
     for a in (X, Y, Z):
-        h.update(np.ascontiguousarray(a).tobytes())
+        feed(a)
     h.update(b"sparse" if sparse else b"dense")
     leaves, treedef = jax.tree_util.tree_flatten(sdf)
     h.update(repr(treedef).encode())
     for leaf in leaves:
-        h.update(np.ascontiguousarray(np.asarray(leaf)).tobytes())
+        feed(leaf)
     return h.hexdigest()
 
 
