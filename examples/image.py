@@ -2,7 +2,7 @@
 
 from sdf_tpu import *
 
-IMAGE = "examples/butterfly.png"
+IMAGE = "examples/flower.png"  # procedural sample asset (see tools or regenerate)
 
 w, h = measure_image(IMAGE)
 

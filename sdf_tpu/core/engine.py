@@ -289,6 +289,10 @@ def generate(
     ``use_pallas=`` selects the fused Pallas eval+classify kernel
     (sdf_tpu.core.pallas_eval): None = on TPU with XLA fallback,
     True = required (interpreted on CPU), False = XLA only.
+    ``sparse=`` accepts the reference's True/False plus "tiles", which
+    additionally restricts *evaluation* to non-culled tiles (the
+    reference skips evaluating culled batches too; the dense device path
+    trades that for one fused pass).
     """
     start = time.time()
     dtype = dtype or jnp.float32
@@ -371,6 +375,17 @@ def generate(
         with _phase("mesh_and_march", stats):
             verts, per_tile = pgrid.mesh_and_march(
                 sdf_c, X, Y, Z, skip, s, mesh, dtype
+            )
+        bar.update(num_batches * 0.8)
+    elif sparse == "tiles":
+        # Tiled sparse pipeline: evaluate only the tiles the probe cull
+        # kept (SURVEY.md section 7 step 4); work scales with surface
+        # area instead of grid volume.
+        from . import sparse as sparse_mod
+
+        with _phase("sparse_tiles", stats):
+            verts, per_tile = sparse_mod.mesh_sparse_tiles(
+                sdf_c, X, Y, Z, skip, dtype
             )
         bar.update(num_batches * 0.8)
     else:

@@ -31,7 +31,7 @@ def fingerprint(sdf, X, Y, Z, sparse):
 
     for a in (X, Y, Z):
         feed(a)
-    h.update(b"sparse" if sparse else b"dense")
+    h.update(repr(sparse).encode())  # True/False/"tiles" differ (order!)
     leaves, treedef = jax.tree_util.tree_flatten(sdf)
     h.update(repr(treedef).encode())
     for leaf in leaves:

@@ -88,3 +88,22 @@ def test_multihost_helpers_single_process(tmp_path):
 
     v, tris = stl.read_binary_stl(path)
     assert len(tris) == 3
+
+
+@pytest.mark.parametrize("builder", ["example", "sphere"])
+def test_sparse_tiles_matches_dense(builder):
+    f = _example_model() if builder == "example" else sdf_tpu.sphere(1)
+    kwargs = dict(samples=2**14, verbose=False, dtype=jnp.float64)
+    mesh1 = pgrid.make_mesh(jax.devices()[:1])
+    dense = sdf_tpu.generate(f, mesh=mesh1, sparse=True, **kwargs)
+    tiles = sdf_tpu.generate(f, mesh=mesh1, sparse="tiles", **kwargs)
+    assert len(dense) == len(tiles)
+    np.testing.assert_allclose(_tri_set(dense), _tri_set(tiles), atol=1e-9)
+
+
+def test_sparse_tiles_stats_match_dense(capsys):
+    f = _example_model()
+    sdf_tpu.generate(f, samples=2**14, verbose=True, sparse="tiles",
+                     mesh=pgrid.make_mesh(jax.devices()[:1]))
+    out = capsys.readouterr().out
+    assert "skipped" in out and "nonempty" in out
