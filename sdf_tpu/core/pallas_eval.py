@@ -115,15 +115,20 @@ def _call(leaves, X, Y, Zw, fn, treedef, scalar, nz, bz, interpret):
     return vol, case
 
 
-def eval_and_classify(sdf_c, X, Y, Z, dtype, bz=8, interpret=False):
+def eval_and_classify(sdf_c, X, Y, Z, dtype, bz=None, interpret=False):
     """Evaluate + classify a dense grid in one fused Pallas pass.
 
     sdf_c: dtype-cast SDF expression.  X/Y/Z: host float64 axis coords.
     Returns (vol (nx,ny,nz), case (nx-1,ny-1,nz-1) int32) device arrays.
     Raises if the expression does not vectorize (callers fall back to the
-    XLA path).
+    XLA path).  ``bz`` (z samples per block) defaults to whatever keeps a
+    (bz+1, nx, ny) slab within ~8 MB of VMEM (large grids overflowed the
+    16 MB budget at the previous fixed bz=8).
     """
     nx, ny, nz = len(X), len(Y), len(Z)
+    if bz is None:
+        slab_bytes = nx * ny * np.dtype(dtype).itemsize
+        bz = int(max(1, min(8, (8 << 20) // max(1, slab_bytes) - 1)))
     # Chunk over SAMPLES (nchunks * bz >= nz) so the last real sample is
     # written by some block, not only read as a halo.  Padded samples
     # repeat the last coordinate; padded cells are trimmed after.
