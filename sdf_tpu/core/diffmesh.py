@@ -39,6 +39,9 @@ def _extract(node, grid01, origin, step, capacity, shape):
     vol = jnp.broadcast_to(node(p), shape)
     keep = jnp.ones((nx - 1, ny - 1, nz - 1), dtype=bool)
     verts9, n = mc.emit(vol, keep, capacity)  # (9, capacity) SoA
+    # Clamp: if the surface outgrows the static buffer the extra
+    # triangles are dropped; n and valid must describe the kept ones.
+    n = jnp.minimum(n, capacity)
     sc = jnp.tile(step, 3)[:, None]
     org = jnp.tile(origin, 3)[:, None]
     world9 = verts9 * sc + org

@@ -169,7 +169,10 @@ def _estimate_bounds_jit(sdf, dtype):
         # exactly on |d| == threshold (the canonical example model does);
         # err on the side of keeping cells.  None at float64 so bounds
         # match the reference bit-for-bit.
-        slack = 0.0 if jnp.dtype(dtype).itemsize >= 8 else 1e-4
+        # Canonicalize first: without jax_enable_x64 a float64 request
+        # silently computes in float32 and still needs the slack.
+        real = jax.dtypes.canonicalize_dtype(jnp.dtype(dtype))
+        slack = 0.0 if real.itemsize >= 8 else 1e-4
         mask = jnp.abs(vol) <= threshold * (1 + slack)
         empty = ~jnp.any(mask)
 
@@ -298,10 +301,27 @@ def generate(
     dtype = dtype or jnp.float32
     stats = {}
 
-    if mesh is None and len(jax.devices()) > 1:
+    if (
+        mesh is None
+        and len(jax.devices()) > 1
+        and sparse != "tiles"
+        and use_pallas is not True
+    ):
+        # Auto-shard over all devices -- unless the user asked for a
+        # single-device pipeline (tiled sparse, or a required Pallas
+        # kernel, neither of which the sharded path supports yet).
         from ..parallel import grid as pgrid
 
         mesh = pgrid.make_mesh()
+    if mesh is not None and mesh.devices.size > 1:
+        if sparse == "tiles":
+            raise ValueError(
+                "sparse='tiles' is a single-device pipeline; omit mesh="
+            )
+        if use_pallas is True:
+            raise ValueError(
+                "use_pallas=True is not supported on the sharded path yet"
+            )
 
     if bounds is None:
         with _phase("bounds", stats):
@@ -385,7 +405,7 @@ def generate(
 
         with _phase("sparse_tiles", stats):
             verts, per_tile = sparse_mod.mesh_sparse_tiles(
-                sdf_c, X, Y, Z, skip, dtype
+                sdf_c, X, Y, Z, skip, s, dtype
             )
         bar.update(num_batches * 0.8)
     else:

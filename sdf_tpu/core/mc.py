@@ -138,6 +138,21 @@ def emit(volume, cell_mask, capacity, cell_capacity=None, case=None):
     # Per slot-vertex: one tiny (256,) table gather per endpoint, 8-way
     # masked selects for the corner values AND the (constant) corner
     # offsets -- everything stays (cell_capacity,) 1D.
+    return interpolate_slots(
+        corner, base, cell_case, cell_ntri, capacity, cell_capacity
+    )
+
+
+def interpolate_slots(corner, base, cell_case, cell_ntri, capacity,
+                      cell_capacity):
+    """Shared emit tail: slot-vertex interpolation + slot compaction.
+
+    corner: list of 8 (cell_capacity,) corner values per active cell.
+    base: 3 (cell_capacity,) cell base coordinates (fractional index).
+    Returns ``(verts (9, capacity), n_tris)`` -- the 1D-SoA triangle
+    block described in ``emit``.  Used by both the dense path (emit) and
+    the tiled sparse path (core.sparse._emit_tiles).
+    """
     ca_t = jnp.asarray(_CA_T)
     cb_t = jnp.asarray(_CB_T)
     offs = _OFFS
@@ -158,7 +173,7 @@ def emit(volume, cell_mask, capacity, cell_capacity=None, case=None):
             pb = sum(jnp.where(m, offs[cc, c], 0.0) for cc, m in enumerate(mb))
             comp[s][v * 3 + c] = base[c] + pa + t * (pb - pa)
 
-    # --- level 2: compact live slots (small: cell_capacity * 5) -------
+    # Compact live slots (small: cell_capacity * 5).
     slot_valid = (
         jax.lax.broadcasted_iota(jnp.int32, (cell_capacity, MAX_TRIS_PER_CELL), 1)
         < cell_ntri[:, None]

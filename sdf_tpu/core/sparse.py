@@ -3,8 +3,8 @@
 The dense engine evaluates every grid sample and uses the probe-based
 skip mask (ref sdf/core.py:28-43) only to mask marching-cubes cells.
 This module completes the reference's sparsity story on device
-(SURVEY.md section 7 step 4): the skip mask selects *active* 32^3-cell
-tiles, their (33^3-sample, +1 halo -- the reference's batch overlap)
+(SURVEY.md section 7 step 4): the skip mask selects *active*
+batch_size^3-cell tiles, their (+1-halo-sample -- the reference's batch overlap)
 volumes are evaluated in one vmapped pass, and marching cubes runs
 tile-locally -- work scales with surface area instead of grid volume.
 
@@ -24,50 +24,48 @@ import jax.numpy as jnp
 import numpy as np
 
 from .mc_tables import CORNER_OFFSETS, NTRI_TABLE
-from .mc import MAX_TRIS_PER_CELL, _CA_T, _CB_T, _OFFS, _NSV
+from .mc import MAX_TRIS_PER_CELL, interpolate_slots
 from .node import Points
 
-TILE = 32  # cells per tile per axis (the reference's batch_size)
-TS = TILE + 1  # samples per tile per axis (+1 halo)
 
-
-@partial(jax.jit, static_argnames=("ntc", "chunk"))
-def _eval_tiles(sdf, X, Y, Z, tiles, ntc, chunk):
-    """Evaluate (ntc, TS, TS, TS) tile volumes.
+@partial(jax.jit, static_argnames=("ntc", "chunk", "tile"))
+def _eval_tiles(sdf, X, Y, Z, tiles, ntc, chunk, tile):
+    """Evaluate (ntc, tile+1, tile+1, tile+1) tile volumes.
 
     tiles: (ntc, 3) int32 tile indices (padded rows repeat tile 0 and are
     masked downstream).  Edge tiles clip their sample indices to the grid
     (the repeated boundary samples belong to cells masked as out-of-grid).
     """
+    TS = tile + 1
     nx, ny, nz = X.shape[0], Y.shape[0], Z.shape[0]
     ar = jnp.arange(TS)
 
     def tile_vol(t):
-        x = X[jnp.clip(t[0] * TILE + ar, 0, nx - 1)]
-        y = Y[jnp.clip(t[1] * TILE + ar, 0, ny - 1)]
-        z = Z[jnp.clip(t[2] * TILE + ar, 0, nz - 1)]
+        x = X[jnp.clip(t[0] * tile + ar, 0, nx - 1)]
+        y = Y[jnp.clip(t[1] * tile + ar, 0, ny - 1)]
+        z = Z[jnp.clip(t[2] * tile + ar, 0, nz - 1)]
         p = Points(x[:, None, None], y[None, :, None], z[None, None, :])
         return jnp.broadcast_to(sdf(p), (TS, TS, TS))
 
     return jax.lax.map(tile_vol, tiles, batch_size=min(chunk, ntc))
 
 
-def _tile_cases(vols):
-    """Case codes for every tile-local cell: (ntc, TILE, TILE, TILE)."""
-    case = jnp.zeros((vols.shape[0], TILE, TILE, TILE), dtype=jnp.int32)
+def _tile_cases(vols, tile):
+    """Case codes for every tile-local cell: (ntc, tile, tile, tile)."""
+    case = jnp.zeros((vols.shape[0], tile, tile, tile), dtype=jnp.int32)
     for b, (ox, oy, oz) in enumerate(np.asarray(CORNER_OFFSETS)):
-        corner = vols[:, ox : TILE + ox, oy : TILE + oy, oz : TILE + oz]
+        corner = vols[:, ox : tile + ox, oy : tile + oy, oz : tile + oz]
         case = case | ((corner < 0).astype(jnp.int32) << b)
     return case
 
 
-def _cell_valid(tiles, live, cshape):
-    """(ntc, TILE, TILE, TILE) mask: cell inside the global grid + live tile."""
+def _cell_valid(tiles, live, cshape, tile):
+    """(ntc, tile^3) mask: cell inside the global grid + live tile."""
     ncx, ncy, ncz = cshape
-    ar = jnp.arange(TILE)
-    gx = tiles[:, 0, None] * TILE + ar[None, :]  # (ntc, TILE)
-    gy = tiles[:, 1, None] * TILE + ar[None, :]
-    gz = tiles[:, 2, None] * TILE + ar[None, :]
+    ar = jnp.arange(tile)
+    gx = tiles[:, 0, None] * tile + ar[None, :]  # (ntc, tile)
+    gy = tiles[:, 1, None] * tile + ar[None, :]
+    gz = tiles[:, 2, None] * tile + ar[None, :]
     m = (
         (gx < ncx)[:, :, None, None]
         & (gy < ncy)[:, None, :, None]
@@ -76,25 +74,29 @@ def _cell_valid(tiles, live, cshape):
     return m & live[:, None, None, None]
 
 
-@partial(jax.jit, static_argnames=("cshape",))
-def _count_tiles(vols, tiles, live, cshape):
-    case = _tile_cases(vols)
-    valid = _cell_valid(tiles, live, cshape)
+@partial(jax.jit, static_argnames=("cshape", "tile"))
+def _count_tiles(vols, tiles, live, cshape, tile):
+    case = _tile_cases(vols, tile)
+    valid = _cell_valid(tiles, live, cshape, tile)
     ntri = jnp.asarray(NTRI_TABLE)[case] * valid.astype(jnp.int32)
     per_tile = ntri.sum(axis=(1, 2, 3))
     ncell = jnp.sum((ntri > 0).astype(jnp.int32))
     return jnp.sum(ntri), per_tile, ncell, case
 
 
-@partial(jax.jit, static_argnames=("cshape", "capacity", "cell_capacity"))
-def _emit_tiles(vols, tiles, live, case, cshape, capacity, cell_capacity):
+@partial(
+    jax.jit, static_argnames=("cshape", "capacity", "cell_capacity", "tile")
+)
+def _emit_tiles(vols, tiles, live, case, cshape, capacity, cell_capacity, tile):
     """Tile-local marching cubes -> (9, capacity) SoA triangles + count.
 
-    Same 1D-SoA layout discipline as mc.emit (see its docstring); the
-    only difference is that cell base coordinates come from
-    ``tiles[t] * TILE + local`` instead of a dense unravel.
+    Same 1D-SoA layout discipline as mc.emit (interpolation shared via
+    mc.interpolate_slots); the only difference is that cell base
+    coordinates come from ``tiles[t] * tile + local`` instead of a dense
+    unravel.
     """
-    valid = _cell_valid(tiles, live, cshape)
+    TS = tile + 1
+    valid = _cell_valid(tiles, live, cshape, tile)
     ntri = jnp.asarray(NTRI_TABLE)[case] * valid.astype(jnp.int32)
 
     active = (ntri > 0).reshape(-1)
@@ -102,10 +104,10 @@ def _emit_tiles(vols, tiles, live, case, cshape, capacity, cell_capacity):
     n_cells = jnp.sum(active.astype(jnp.int32))
     cell_live = jnp.arange(cell_capacity) < n_cells
 
-    t_of = cell_idx // (TILE * TILE * TILE)
-    local = cell_idx % (TILE * TILE * TILE)
-    li, rem = local // (TILE * TILE), local % (TILE * TILE)
-    lj, lk = rem // TILE, rem % TILE
+    t_of = cell_idx // (tile * tile * tile)
+    local = cell_idx % (tile * tile * tile)
+    li, rem = local // (tile * tile), local % (tile * tile)
+    lj, lk = rem // tile, rem % tile
 
     cell_case = case.reshape(-1)[cell_idx]
     cell_ntri = jnp.where(cell_live, ntri.reshape(-1)[cell_idx], 0)
@@ -117,51 +119,22 @@ def _emit_tiles(vols, tiles, live, case, cshape, capacity, cell_capacity):
         corner.append(vflat[lin])
     dt = vols.dtype
     base = (
-        (tiles[:, 0][t_of] * TILE + li).astype(dt),
-        (tiles[:, 1][t_of] * TILE + lj).astype(dt),
-        (tiles[:, 2][t_of] * TILE + lk).astype(dt),
+        (tiles[:, 0][t_of] * tile + li).astype(dt),
+        (tiles[:, 1][t_of] * tile + lj).astype(dt),
+        (tiles[:, 2][t_of] * tile + lk).astype(dt),
+    )
+    return interpolate_slots(
+        corner, base, cell_case, cell_ntri, capacity, cell_capacity
     )
 
-    ca_t = jnp.asarray(_CA_T)
-    cb_t = jnp.asarray(_CB_T)
-    comp = [[None] * 9 for _ in range(MAX_TRIS_PER_CELL)]
-    for k in range(_NSV):
-        s, v = divmod(k, 3)
-        ca_k = ca_t[k][cell_case]
-        cb_k = cb_t[k][cell_case]
-        ma = [(ca_k == c) for c in range(8)]
-        mb = [(cb_k == c) for c in range(8)]
-        va = sum(jnp.where(m, corner[c], 0.0) for c, m in enumerate(ma))
-        vb = sum(jnp.where(m, corner[c], 0.0) for c, m in enumerate(mb))
-        denom = va - vb
-        t = jnp.clip(va / jnp.where(denom == 0, 1.0, denom), 0.0, 1.0)
-        for c in range(3):
-            pa = sum(jnp.where(m, _OFFS[cc, c], 0.0) for cc, m in enumerate(ma))
-            pb = sum(jnp.where(m, _OFFS[cc, c], 0.0) for cc, m in enumerate(mb))
-            comp[s][v * 3 + c] = base[c] + pa + t * (pb - pa)
 
-    slot_valid = (
-        jax.lax.broadcasted_iota(jnp.int32, (cell_capacity, MAX_TRIS_PER_CELL), 1)
-        < cell_ntri[:, None]
-    ).reshape(-1)
-    tri_idx = jnp.flatnonzero(slot_valid, size=capacity, fill_value=0)
-    n_tris = jnp.sum(slot_valid.astype(jnp.int32))
-    g_idx = (tri_idx % MAX_TRIS_PER_CELL) * cell_capacity + (
-        tri_idx // MAX_TRIS_PER_CELL
-    )
-    rows = []
-    for j in range(9):
-        staged = jnp.concatenate([comp[s][j] for s in range(MAX_TRIS_PER_CELL)])
-        rows.append(staged[g_idx])
-    return jnp.stack(rows, axis=0), n_tris
-
-
-def mesh_sparse_tiles(sdf_c, X, Y, Z, skip, dtype, chunk_tiles=128):
+def mesh_sparse_tiles(sdf_c, X, Y, Z, skip, tile, dtype, chunk_tiles=128):
     """Tiled sparse pipeline: eval + marching cubes on active tiles only.
 
     Returns (verts (3T, 3) float64 in fractional index coords,
     per_tile_counts (tx, ty, tz)).  ``skip`` is the probe-cull mask from
-    the engine (True = culled).
+    the engine (True = culled) at ``tile`` (= engine batch_size) cells
+    per tile per axis.
     """
     nx, ny, nz = len(X), len(Y), len(Z)
     cshape = (nx - 1, ny - 1, nz - 1)
@@ -185,8 +158,10 @@ def mesh_sparse_tiles(sdf_c, X, Y, Z, skip, dtype, chunk_tiles=128):
     tiles_d = jnp.asarray(tiles)
     live_d = jnp.asarray(live)
 
-    vols = _eval_tiles(sdf_c, Xd, Yd, Zd, tiles_d, ntc, chunk_tiles)
-    total, per_tile, ncell, case = _count_tiles(vols, tiles_d, live_d, cshape)
+    vols = _eval_tiles(sdf_c, Xd, Yd, Zd, tiles_d, ntc, chunk_tiles, tile)
+    total, per_tile, ncell, case = _count_tiles(
+        vols, tiles_d, live_d, cshape, tile
+    )
     n = int(total)
 
     pt = np.zeros(skip.shape, dtype=np.int64)
@@ -199,7 +174,7 @@ def mesh_sparse_tiles(sdf_c, X, Y, Z, skip, dtype, chunk_tiles=128):
     capacity = 1 << (n - 1).bit_length()
     cell_capacity = 1 << max(0, int(ncell) - 1).bit_length()
     verts9, n_tris = _emit_tiles(
-        vols, tiles_d, live_d, case, cshape, capacity, cell_capacity
+        vols, tiles_d, live_d, case, cshape, capacity, cell_capacity, tile
     )
     n = int(n_tris)
     verts = np.asarray(verts9[:, :n], dtype=np.float64).T.reshape(-1, 3)

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import re
 
 import jax
 import numpy as np
@@ -33,7 +34,10 @@ def fingerprint(sdf, X, Y, Z, sparse):
         feed(a)
     h.update(repr(sparse).encode())  # True/False/"tiles" differ (order!)
     leaves, treedef = jax.tree_util.tree_flatten(sdf)
-    h.update(repr(treedef).encode())
+    # repr(treedef) embeds closure memory addresses ("... at 0x7f...")
+    # which change every process -- strip them so checkpoints survive
+    # restarts (function qualnames remain and identify the structure).
+    h.update(re.sub(r"0x[0-9a-f]+", "", repr(treedef)).encode())
     for leaf in leaves:
         feed(leaf)
     return h.hexdigest()

@@ -32,8 +32,14 @@ def test_pallas_matches_xla(builder):
 
 
 def test_generate_with_pallas_matches_default():
+    import jax
+    from sdf_tpu.parallel.grid import make_mesh
+
     f = example()
-    a = engine.generate(f, samples=2**13, verbose=False, dtype=jnp.float64)
+    mesh1 = make_mesh(jax.devices()[:1])  # same (single-device) tri order
+    a = engine.generate(
+        f, samples=2**13, verbose=False, dtype=jnp.float64, mesh=mesh1
+    )
     b = engine.generate(
         f, samples=2**13, verbose=False, dtype=jnp.float64, use_pallas=True
     )

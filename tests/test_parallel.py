@@ -107,3 +107,23 @@ def test_sparse_tiles_stats_match_dense(capsys):
                      mesh=pgrid.make_mesh(jax.devices()[:1]))
     out = capsys.readouterr().out
     assert "skipped" in out and "nonempty" in out
+
+
+def test_sparse_tiles_respects_batch_size():
+    # tile size must follow the engine batch_size (code-review finding:
+    # hardcoded 32 lost triangles with batch_size=16)
+    f = sdf_tpu.sphere(1)
+    kwargs = dict(step=0.05, bounds=((-1.2,) * 3, (1.2,) * 3), verbose=False,
+                  dtype=jnp.float64, mesh=pgrid.make_mesh(jax.devices()[:1]))
+    dense = sdf_tpu.generate(f, sparse=True, batch_size=16, **kwargs)
+    tiles = sdf_tpu.generate(f, sparse="tiles", batch_size=16, **kwargs)
+    assert len(dense) == len(tiles)
+    np.testing.assert_allclose(_tri_set(dense), _tri_set(tiles), atol=1e-9)
+
+
+def test_sparse_tiles_with_multidevice_mesh_raises():
+    with pytest.raises(ValueError):
+        sdf_tpu.generate(
+            sdf_tpu.sphere(1), samples=2**12, verbose=False,
+            sparse="tiles", mesh=pgrid.make_mesh(),
+        )

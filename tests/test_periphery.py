@@ -189,3 +189,17 @@ def test_bounds_estimation_matches_reference():
     # jnp.linspace and np.linspace differ by ~1 ulp; the 32 refinement
     # iterations amplify that to ~1e-7, which is far below a grid step.
     np.testing.assert_allclose(ours, theirs, rtol=1e-6, atol=1e-6)
+
+
+def test_checkpoint_fingerprint_stable_across_builds():
+    # Two separately-built identical expressions must fingerprint
+    # identically (code-review finding: repr(treedef) embedded closure
+    # addresses, so resume after restart never matched).
+    from sdf_tpu.utils import checkpoint as ckpt
+
+    X = np.arange(5.0)
+    a = ckpt.fingerprint(st.sphere(1.25), X, X, X, True)
+    b = ckpt.fingerprint(st.sphere(1.25), X, X, X, True)
+    assert a == b
+    c = ckpt.fingerprint(st.sphere(1.35), X, X, X, True)
+    assert a != c
