@@ -143,6 +143,23 @@ def emit(volume, cell_mask, capacity, cell_capacity=None, case=None):
     )
 
 
+# Packed per-case tables for the wide interpolation path: columns
+# [ca(15) | cb(15) | pax(15) | pay(15) | paz(15) | pbx | pby | pbz].
+_WIDE_PACK = np.concatenate(
+    [
+        _CA_T.T,
+        _CB_T.T,
+        np.asarray(CORNER_OFFSETS)[_CA_T.T].reshape(256, _NSV, 3)
+        .transpose(0, 2, 1).reshape(256, -1),
+        np.asarray(CORNER_OFFSETS)[_CB_T.T].reshape(256, _NSV, 3)
+        .transpose(0, 2, 1).reshape(256, -1),
+    ],
+    axis=1,
+).astype(np.float32)  # (256, 8 * NSV)
+
+_INTERP_CHUNK = 1 << 18  # cells per wide-math chunk (memory bound)
+
+
 def interpolate_slots(corner, base, cell_case, cell_ntri, capacity,
                       cell_capacity):
     """Shared emit tail: slot-vertex interpolation + slot compaction.
@@ -152,26 +169,54 @@ def interpolate_slots(corner, base, cell_case, cell_ntri, capacity,
     Returns ``(verts (9, capacity), n_tris)`` -- the 1D-SoA triangle
     block described in ``emit``.  Used by both the dense path (emit) and
     the tiled sparse path (core.sparse._emit_tiles).
+
+    The per-case data arrives via ONE row gather from a packed (256, 120)
+    table per chunk (30 separate tiny-table gathers paid ~2 ms fixed cost
+    each); the (chunk, 15)-wide intermediates pad 15 -> 128 lanes, so the
+    math runs in lax.map chunks to bound that amplification (a single
+    wide pass OOMed HBM at 2^26 capacities).
     """
-    ca_t = jnp.asarray(_CA_T)
-    cb_t = jnp.asarray(_CB_T)
-    offs = _OFFS
-    comp = [[None] * 9 for _ in range(MAX_TRIS_PER_CELL)]  # [slot][v*3+c]
-    for k in range(_NSV):
-        s, v = divmod(k, 3)
-        ca_k = ca_t[k][cell_case]
-        cb_k = cb_t[k][cell_case]
-        ma = [(ca_k == c) for c in range(8)]
-        mb = [(cb_k == c) for c in range(8)]
-        va = sum(jnp.where(m, corner[c], 0.0) for c, m in enumerate(ma))
-        vb = sum(jnp.where(m, corner[c], 0.0) for c, m in enumerate(mb))
+    dtype = corner[0].dtype
+    pack = jnp.asarray(_WIDE_PACK, dtype=dtype)
+    N = _NSV
+
+    nchunks = max(1, -(-cell_capacity // _INTERP_CHUNK))
+    chunk = -(-cell_capacity // nchunks)
+    pad = nchunks * chunk - cell_capacity
+
+    def padded(a):
+        return jnp.pad(a, (0, pad)).reshape(nchunks, chunk)
+
+    cstack = jnp.stack([padded(c) for c in corner], axis=-1)  # (nc, ch, 8)
+    bstack = jnp.stack([padded(b) for b in base], axis=-1)  # (nc, ch, 3)
+    case_ch = padded(cell_case)
+
+    def do_chunk(args):
+        cs, cn, bs = args  # (chunk,), (chunk, 8), (chunk, 3)
+        p = pack[cs]  # (chunk, 120)
+        ca = p[:, 0:N]
+        cb = p[:, N : 2 * N]
+        va = sum((ca == c) * cn[:, c][:, None] for c in range(8))
+        vb = sum((cb == c) * cn[:, c][:, None] for c in range(8))
         denom = va - vb
         t = va / jnp.where(denom == 0, 1.0, denom)  # zero crossing, lvl 0
         t = jnp.clip(t, 0.0, 1.0)
+        outs = []
         for c in range(3):
-            pa = sum(jnp.where(m, offs[cc, c], 0.0) for cc, m in enumerate(ma))
-            pb = sum(jnp.where(m, offs[cc, c], 0.0) for cc, m in enumerate(mb))
-            comp[s][v * 3 + c] = base[c] + pa + t * (pb - pa)
+            pa = p[:, (2 + c) * N : (3 + c) * N]
+            pb = p[:, (5 + c) * N : (6 + c) * N]
+            outs.append(bs[:, c][:, None] + pa + t * (pb - pa))
+        # (chunk, 45): columns ordered [c * NSV + k]
+        return jnp.concatenate(outs, axis=1)
+
+    wide = jax.lax.map(do_chunk, (case_ch, cstack, bstack))  # (nc, ch, 45)
+    # -> 45 cell-major 1D arrays indexed [c * NSV + (s * 3 + v)].
+    flat = jnp.moveaxis(wide, 2, 0).reshape(45, -1)[:, :cell_capacity]
+    comp = [[None] * 9 for _ in range(MAX_TRIS_PER_CELL)]  # [slot][v*3+c]
+    for s in range(MAX_TRIS_PER_CELL):
+        for v in range(3):
+            for c in range(3):
+                comp[s][v * 3 + c] = flat[c * N + s * 3 + v]
 
     # Compact live slots (small: cell_capacity * 5).
     slot_valid = (
