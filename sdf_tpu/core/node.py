@@ -247,6 +247,32 @@ class SDF3(_Node):
 
         return engine.show_slice(self, *args, **kwargs)
 
+    def gradient(self, p, dtype=None):
+        """Spatial gradient of the field at (N, 3) points, via jax.grad.
+
+        Not possible in the reference (opaque numpy closures); here the
+        whole CSG tree differentiates in one reverse pass.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        dtype = dtype or jnp.float32
+        node = cast(self, dtype)
+        p = jnp.asarray(p, dtype=dtype)
+
+        def d(q):
+            return node(q[None, :])[0, 0]
+
+        return jax.vmap(jax.grad(d))(p)
+
+    def normal(self, p, dtype=None):
+        """Unit surface normal (normalized gradient) at (N, 3) points."""
+        import jax.numpy as jnp
+
+        g = self.gradient(p, dtype)
+        n = jnp.linalg.norm(g, axis=1, keepdims=True)
+        return g / jnp.where(n == 0, 1.0, n)
+
 
 class SDF2(_Node):
     """A 2D signed distance field: points ``(N, 2)`` -> distances ``(N, 1)``."""

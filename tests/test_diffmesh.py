@@ -61,3 +61,18 @@ def test_grad_through_csg_params():
     leaves = [np.asarray(x) for x in jax.tree_util.tree_leaves(grads)]
     assert any(np.any(l != 0) for l in leaves)
     assert all(np.all(np.isfinite(l)) for l in leaves)
+
+
+def test_gradient_and_normal_api():
+    f = sphere(1.0)
+    rng = np.random.RandomState(5)
+    p = rng.normal(size=(256, 3))
+    p /= np.linalg.norm(p, axis=1, keepdims=True)
+    p *= rng.uniform(0.5, 1.5, (256, 1))
+    g = np.asarray(f.gradient(p, dtype=jnp.float64))
+    # gradient of a sphere SDF is the unit radial direction
+    np.testing.assert_allclose(
+        g, p / np.linalg.norm(p, axis=1, keepdims=True), atol=1e-9
+    )
+    n = np.asarray(f.normal(p, dtype=jnp.float64))
+    np.testing.assert_allclose(np.linalg.norm(n, axis=1), 1.0, atol=1e-12)
