@@ -32,7 +32,9 @@ def initialize(**kwargs):
     """
     import jax._src.xla_bridge as xb
 
-    already = xb.backends() if hasattr(xb, "backends") else {}
+    # NB: xb.backends() would itself initialize the backend; peek at the
+    # private already-initialized dict instead.
+    already = getattr(xb, "_backends", {})
     if kwargs:
         if already:
             raise RuntimeError(
