@@ -301,23 +301,14 @@ def generate(
     dtype = dtype or jnp.float32
     stats = {}
 
-    if (
-        mesh is None
-        and len(jax.devices()) > 1
-        and sparse != "tiles"
-        and use_pallas is not True
-    ):
-        # Auto-shard over all devices -- unless the user asked for a
-        # single-device pipeline (tiled sparse, or a required Pallas
-        # kernel, neither of which the sharded path supports yet).
+    if mesh is None and len(jax.devices()) > 1 and use_pallas is not True:
+        # Auto-shard over all devices (use_pallas=True pins the
+        # single-device path: the sharded paths do not run the fused
+        # Pallas kernel yet).
         from ..parallel import grid as pgrid
 
         mesh = pgrid.make_mesh()
     if mesh is not None and mesh.devices.size > 1:
-        if sparse == "tiles":
-            raise ValueError(
-                "sparse='tiles' is a single-device pipeline; omit mesh="
-            )
         if use_pallas is True:
             raise ValueError(
                 "use_pallas=True is not supported on the sharded path yet"
@@ -390,12 +381,21 @@ def generate(
     bar.update(num_batches * 0.1)
 
     if mesh is not None and mesh.devices.size > 1:
-        from ..parallel import grid as pgrid
+        if sparse == "tiles":
+            # Active-tile-list sharding: load-balanced for sparse models.
+            from ..parallel import sparse as psparse
 
-        with _phase("mesh_and_march", stats):
-            verts, per_tile = pgrid.mesh_and_march(
-                sdf_c, X, Y, Z, skip, s, mesh, dtype
-            )
+            with _phase("sparse_tiles_sharded", stats):
+                verts, per_tile = psparse.mesh_sparse_tiles_sharded(
+                    sdf_c, X, Y, Z, skip, s, mesh, dtype
+                )
+        else:
+            from ..parallel import grid as pgrid
+
+            with _phase("mesh_and_march", stats):
+                verts, per_tile = pgrid.mesh_and_march(
+                    sdf_c, X, Y, Z, skip, s, mesh, dtype
+                )
         bar.update(num_batches * 0.8)
     elif sparse == "tiles":
         # Tiled sparse pipeline: evaluate only the tiles the probe cull

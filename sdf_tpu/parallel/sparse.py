@@ -1,0 +1,147 @@
+"""Sharded sparse tiles: the active-tile list sharded over the mesh.
+
+Z-slab sharding (parallel.grid) balances *volume*; for sparse models the
+surface tiles cluster, so the better pod strategy is to shard the
+ACTIVE TILE LIST round-robin over devices -- every device gets the same
+number of surface tiles regardless of where the surface sits.  Tiles
+carry global indices, so per-device marching cubes needs no offset fixup
+and, as everywhere else in this engine, no halo exchange (the +1 sample
+ring is recomputed locally).
+
+Collectives: one pmax pair for the global emit capacities.  Host-side
+readback touches only addressable shards (multi-host safe, same contract
+as parallel.grid: each host returns its local triangle soup).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from ..core import sparse as core_sparse
+
+AXIS = "grid"
+
+
+@partial(
+    jax.jit, static_argnames=("mesh", "cshape", "tile", "tpd", "chunk")
+)
+def _phase_count(sdf, X, Y, Z, tiles, live, mesh, cshape, tile, tpd, chunk):
+    def body(X, Y, Z, tiles, live):
+        # blocks arrive per-device: tiles (tpd, 3), live (tpd,)
+        vols = core_sparse._eval_tiles(sdf, X, Y, Z, tiles, tpd, chunk, tile)
+        total, per_tile, ncell, case = core_sparse._count_tiles(
+            vols, tiles, live, cshape, tile
+        )
+        gmax_t = jax.lax.pmax(total, AXIS)
+        gmax_c = jax.lax.pmax(ncell, AXIS)
+        return vols, case, per_tile, gmax_t, gmax_c
+
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(AXIS), P(AXIS)),
+        out_specs=(P(AXIS), P(AXIS), P(AXIS), P(), P()),
+    )(X, Y, Z, tiles, live)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "cshape", "tile", "capacity", "cell_capacity"),
+)
+def _phase_emit(vols, case, tiles, live, mesh, cshape, tile, capacity,
+                cell_capacity):
+    def body(vols, case, tiles, live):
+        verts, n = core_sparse._emit_tiles(
+            vols, tiles, live, case, cshape, capacity, cell_capacity, tile
+        )
+        return verts[None], n[None]
+
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
+        out_specs=(P(AXIS), P(AXIS)),
+    )(vols, case, tiles, live)
+
+
+def mesh_sparse_tiles_sharded(sdf_c, X, Y, Z, skip, tile, mesh, dtype,
+                              chunk_tiles=128):
+    """Sharded tiled-sparse pipeline over a device mesh.
+
+    Same contract as core.sparse.mesh_sparse_tiles; on a multi-host mesh
+    each host returns its local soup (assemble with gather_triangles).
+    """
+    ndev = mesh.devices.size
+    nx, ny, nz = len(X), len(Y), len(Z)
+    cshape = (nx - 1, ny - 1, nz - 1)
+
+    active = np.argwhere(~skip)  # (nt, 3) x-major
+    nt = len(active)
+    if nt == 0:
+        return np.zeros((0, 3), dtype=np.float64), np.zeros(
+            skip.shape, dtype=np.int64
+        )
+    # Pad the tile list to a per-device-equal, power-of-two-ish count.
+    tpd = -(-nt // ndev)
+    ntc = tpd * ndev
+    tiles = np.zeros((ntc, 3), dtype=np.int32)
+    tiles[:nt] = active
+    live = np.zeros((ntc,), dtype=bool)
+    live[:nt] = True
+    # Round-robin: device d gets tiles [d::ndev] -- spreads clustered
+    # surface regions evenly.
+    order = np.arange(ntc).reshape(tpd, ndev).T.reshape(-1)
+    tiles = tiles[order]
+    live = live[order]
+
+    Xd = jnp.asarray(X, dtype=dtype)
+    Yd = jnp.asarray(Y, dtype=dtype)
+    Zd = jnp.asarray(Z, dtype=dtype)
+    tiles_d = jnp.asarray(tiles)
+    live_d = jnp.asarray(live)
+
+    vols, case, per_tile, gmax_t, gmax_c = _phase_count(
+        sdf_c, Xd, Yd, Zd, tiles_d, live_d, mesh, cshape, tile, tpd,
+        chunk_tiles,
+    )
+    nmax = int(gmax_t)
+
+    pt = np.zeros(skip.shape, dtype=np.int64)
+    # per-device per-tile counts -> global tile grid (addressable shards).
+    for sh in per_tile.addressable_shards:
+        start = sh.index[0].start or 0  # element offset into the tile list
+        counts = np.asarray(sh.data)  # (tpd,)
+        rows = tiles[start : start + len(counts)]
+        mask = live[start : start + len(counts)]
+        pt[tuple(rows[mask].T)] = counts[mask]
+
+    if nmax == 0:
+        return np.zeros((0, 3), dtype=np.float64), pt
+
+    capacity = 1 << (nmax - 1).bit_length()
+    cell_capacity = 1 << max(0, int(gmax_c) - 1).bit_length()
+    verts, counts = _phase_emit(
+        vols, case, tiles_d, live_d, mesh, cshape, tile, capacity,
+        cell_capacity,
+    )
+    cnt = {}
+    for s in counts.addressable_shards:
+        cnt[s.index[0].start or 0] = int(np.asarray(s.data)[0])
+    parts = []
+    for s in sorted(
+        verts.addressable_shards, key=lambda s: s.index[0].start or 0
+    ):
+        i = s.index[0].start or 0
+        v = np.asarray(s.data, dtype=np.float64)[0]  # (9, capacity)
+        parts.append(v[:, : cnt[i]].T.reshape(-1, 3))
+    out = (
+        np.concatenate(parts, axis=0)
+        if parts
+        else np.zeros((0, 3), dtype=np.float64)
+    )
+    return out, pt

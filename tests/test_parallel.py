@@ -121,9 +121,11 @@ def test_sparse_tiles_respects_batch_size():
     np.testing.assert_allclose(_tri_set(dense), _tri_set(tiles), atol=1e-9)
 
 
-def test_sparse_tiles_with_multidevice_mesh_raises():
-    with pytest.raises(ValueError):
-        sdf_tpu.generate(
-            sdf_tpu.sphere(1), samples=2**12, verbose=False,
-            sparse="tiles", mesh=pgrid.make_mesh(),
-        )
+def test_sparse_tiles_sharded_matches_single_device():
+    f = _example_model()
+    kwargs = dict(samples=2**14, verbose=False, sparse="tiles",
+                  dtype=jnp.float64)
+    p1 = sdf_tpu.generate(f, mesh=pgrid.make_mesh(jax.devices()[:1]), **kwargs)
+    p8 = sdf_tpu.generate(f, mesh=pgrid.make_mesh(), **kwargs)
+    assert len(p1) == len(p8)
+    np.testing.assert_allclose(_tri_set(p1), _tri_set(p8), atol=1e-9)
