@@ -129,3 +129,25 @@ def test_sparse_tiles_sharded_matches_single_device():
     p8 = sdf_tpu.generate(f, mesh=pgrid.make_mesh(), **kwargs)
     assert len(p1) == len(p8)
     np.testing.assert_allclose(_tri_set(p1), _tri_set(p8), atol=1e-9)
+
+
+def test_sparse_tiles_sharded_nondivisible_and_empty():
+    # tile count not divisible by device count + fully-culled window
+    f = sdf_tpu.sphere(1)
+    p = sdf_tpu.generate(
+        f, step=0.09, bounds=((-1.1,) * 3, (1.1,) * 3), verbose=False,
+        sparse="tiles", batch_size=8, dtype=jnp.float64,
+        mesh=pgrid.make_mesh(),
+    )
+    q = sdf_tpu.generate(
+        f, step=0.09, bounds=((-1.1,) * 3, (1.1,) * 3), verbose=False,
+        sparse=True, batch_size=8, dtype=jnp.float64,
+        mesh=pgrid.make_mesh(jax.devices()[:1]),
+    )
+    assert len(p) == len(q)
+    np.testing.assert_allclose(_tri_set(p), _tri_set(q), atol=1e-9)
+    empty = sdf_tpu.generate(
+        f, bounds=((2.0,) * 3, (3.0,) * 3), step=0.1, verbose=False,
+        sparse="tiles", mesh=pgrid.make_mesh(),
+    )
+    assert empty.shape == (0, 3)
