@@ -203,3 +203,23 @@ def test_checkpoint_fingerprint_stable_across_builds():
     assert a == b
     c = ckpt.fingerprint(st.sphere(1.35), X, X, X, True)
     assert a != c
+
+
+def test_per_axis_step_tuple():
+    # step may be a per-axis tuple (ref sdf/core.py:100-103)
+    f = st.sphere(1)
+    pts = f.generate(step=(0.2, 0.25, 0.3), bounds=((-1.1,) * 3, (1.1,) * 3),
+                     verbose=False)
+    assert len(pts) > 0
+    r = np.linalg.norm(pts, axis=1)
+    np.testing.assert_allclose(r, 1.0, atol=0.05)
+
+
+def test_progress_bar_output(capsys):
+    from sdf_tpu.utils.progress import Bar
+
+    bar = Bar(10, enabled=True)
+    bar.update(5)
+    bar.done()
+    out = capsys.readouterr().out
+    assert "%" in out and "10" in out
