@@ -301,18 +301,10 @@ def generate(
     dtype = dtype or jnp.float32
     stats = {}
 
-    if mesh is None and len(jax.devices()) > 1 and use_pallas is not True:
-        # Auto-shard over all devices (use_pallas=True pins the
-        # single-device path: the sharded paths do not run the fused
-        # Pallas kernel yet).
+    if mesh is None and len(jax.devices()) > 1:
         from ..parallel import grid as pgrid
 
         mesh = pgrid.make_mesh()
-    if mesh is not None and mesh.devices.size > 1:
-        if use_pallas is True:
-            raise ValueError(
-                "use_pallas=True is not supported on the sharded path yet"
-            )
 
     if bounds is None:
         with _phase("bounds", stats):
@@ -392,10 +384,29 @@ def generate(
         else:
             from ..parallel import grid as pgrid
 
+            backend = jax.default_backend()
+            want_pallas = use_pallas
+            if want_pallas is None:
+                want_pallas = "auto" if backend == "tpu" else False
+            key = (jax.tree_util.tree_structure(sdf_c), jnp.dtype(dtype))
             with _phase("mesh_and_march", stats):
-                verts, per_tile = pgrid.mesh_and_march(
-                    sdf_c, X, Y, Z, skip, s, mesh, dtype
-                )
+                if want_pallas and key not in _PALLAS_BROKEN:
+                    try:
+                        verts, per_tile = pgrid.mesh_and_march(
+                            sdf_c, X, Y, Z, skip, s, mesh, dtype,
+                            use_pallas=True, interpret=(backend != "tpu"),
+                        )
+                    except Exception:
+                        if len(_PALLAS_BROKEN) > 256:
+                            _PALLAS_BROKEN.clear()
+                        _PALLAS_BROKEN.add(key)
+                        verts, per_tile = pgrid.mesh_and_march(
+                            sdf_c, X, Y, Z, skip, s, mesh, dtype
+                        )
+                else:
+                    verts, per_tile = pgrid.mesh_and_march(
+                        sdf_c, X, Y, Z, skip, s, mesh, dtype
+                    )
         bar.update(num_batches * 0.8)
     elif sparse == "tiles":
         # Tiled sparse pipeline: evaluate only the tiles the probe cull

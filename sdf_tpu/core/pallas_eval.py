@@ -83,11 +83,8 @@ def _kernel(x_ref, y_ref, z_ref, *rest, fn, treedef, scalar, bz, nx, ny):
     case_ref[...] = case
 
 
-@partial(
-    jax.jit,
-    static_argnames=("fn", "treedef", "scalar", "nz", "bz", "interpret"),
-)
-def _call(leaves, X, Y, Zw, fn, treedef, scalar, nz, bz, interpret):
+def _pallas_invoke(leaves, X, Y, Zw, fn, treedef, scalar, nz, bz, interpret):
+    """Raw pallas_call invocation; traced-input safe (usable in shard_map)."""
     nx, ny = X.shape[0], Y.shape[0]
     nchunks = (Zw.shape[1] - 1) // bz
     kern = partial(
@@ -115,6 +112,42 @@ def _call(leaves, X, Y, Zw, fn, treedef, scalar, nz, bz, interpret):
     return vol, case
 
 
+_call = partial(jax.jit, static_argnames=(
+    "fn", "treedef", "scalar", "nz", "bz", "interpret"))(_pallas_invoke)
+
+
+def _pick_bz(nx, ny, dtype):
+    """Largest z block keeping a (bz+1, nx, ny) slab within ~8 MB VMEM."""
+    slab_bytes = nx * ny * np.dtype(dtype).itemsize
+    return int(max(1, min(8, (8 << 20) // max(1, slab_bytes) - 1)))
+
+
+def eval_and_classify_traced(sdf_c, X, Y, Zblk, interpret=False):
+    """Traced-input fused eval+classify, for use INSIDE jit/shard_map.
+
+    X (nx,), Y (ny,), Zblk (nz,) are traced device arrays (e.g. one
+    device's z-slab inside the sharded engine).  Returns
+    (vol (nx,ny,nz), case (nx-1,ny-1,nz-1)).
+    """
+    nx, ny, nz = X.shape[0], Y.shape[0], Zblk.shape[0]
+    dtype = X.dtype
+    bz = _pick_bz(nx, ny, dtype)
+    nchunks = max(1, -(-nz // bz))
+    need = nchunks * bz + 1
+    Zp = jnp.concatenate(
+        [Zblk, jnp.full((need - nz,), Zblk[-1], dtype=Zblk.dtype)]
+    )
+    Zw = Zp[None, :]
+    leaves, treedef = jax.tree_util.tree_flatten(sdf_c)
+    leaves = [jnp.asarray(l, dtype=dtype) for l in leaves]
+    scalar = tuple(l.ndim == 0 for l in leaves)
+    leaves = [l.reshape(1) if l.ndim == 0 else l for l in leaves]
+    return _pallas_invoke(
+        tuple(leaves), X, Y, Zw, _eval_root, treedef, scalar, nz, bz,
+        interpret,
+    )
+
+
 def eval_and_classify(sdf_c, X, Y, Z, dtype, bz=None, interpret=False):
     """Evaluate + classify a dense grid in one fused Pallas pass.
 
@@ -127,8 +160,7 @@ def eval_and_classify(sdf_c, X, Y, Z, dtype, bz=None, interpret=False):
     """
     nx, ny, nz = len(X), len(Y), len(Z)
     if bz is None:
-        slab_bytes = nx * ny * np.dtype(dtype).itemsize
-        bz = int(max(1, min(8, (8 << 20) // max(1, slab_bytes) - 1)))
+        bz = _pick_bz(nx, ny, dtype)
     # Chunk over SAMPLES (nchunks * bz >= nz) so the last real sample is
     # written by some block, not only read as a halo.  Padded samples
     # repeat the last coordinate; padded cells are trimmed after.

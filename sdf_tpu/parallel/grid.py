@@ -83,9 +83,13 @@ def _local_cell_mask(keep_xy, c, ncz, tile, axis_name):
 
 @partial(
     jax.jit,
-    static_argnames=("mesh", "c", "ncz", "tile", "n_z_tiles", "chunk_points"),
+    static_argnames=(
+        "mesh", "c", "ncz", "tile", "n_z_tiles", "chunk_points", "use_pallas",
+        "interpret",
+    ),
 )
-def _phase_count(sdf, X, Y, Zs, keep_xy, mesh, c, ncz, tile, n_z_tiles, chunk_points):
+def _phase_count(sdf, X, Y, Zs, keep_xy, mesh, c, ncz, tile, n_z_tiles,
+                 chunk_points, use_pallas=False, interpret=False):
     """Sharded phase 1: evaluate slabs, count triangles per cell.
 
     Returns (vol, totals, per_tile): vol is the sharded evaluated volume
@@ -95,9 +99,17 @@ def _phase_count(sdf, X, Y, Zs, keep_xy, mesh, c, ncz, tile, n_z_tiles, chunk_po
 
     def body(X, Y, Zblk, keep_xy):
         Zblk = Zblk[0]
-        vol = _slab_eval(sdf, X, Y, Zblk, chunk_points)
+        if use_pallas:
+            # Fused Pallas eval+classify per device slab.
+            from ..core import pallas_eval
+
+            vol, case = pallas_eval.eval_and_classify_traced(
+                sdf, X, Y, Zblk, interpret=interpret
+            )
+        else:
+            vol = _slab_eval(sdf, X, Y, Zblk, chunk_points)
+            case = mc._cell_cases(vol)
         mask = _local_cell_mask(keep_xy, c, ncz, tile, AXIS)
-        case = mc._cell_cases(vol)
         ntri = jnp.asarray(NTRI_TABLE)[case] * mask.astype(jnp.int32)
         total = jnp.sum(ntri)
         ncell = jnp.sum((ntri > 0).astype(jnp.int32))
@@ -134,6 +146,9 @@ def _phase_count(sdf, X, Y, Zs, keep_xy, mesh, c, ncz, tile, n_z_tiles, chunk_po
         mesh=mesh,
         in_specs=(P(), P(), P(AXIS), P()),
         out_specs=(P(AXIS), P(AXIS), P(AXIS), P(), P(), P()),
+        # pallas_call's out_shapes carry no vma annotation; psum/pmax
+        # still make the replicated outputs genuinely replicated.
+        check_vma=False,
     )(X, Y, Zs, keep_xy)
 
 
@@ -171,7 +186,8 @@ def _phase_emit(vol, case, keep_xy, mesh, c, ncz, tile, capacity, cell_capacity)
     )(vol, case, keep_xy)
 
 
-def mesh_and_march(sdf_c, X, Y, Z, skip, tile, mesh, dtype, chunk_points=2**22):
+def mesh_and_march(sdf_c, X, Y, Z, skip, tile, mesh, dtype,
+                   chunk_points=2**22, use_pallas=False, interpret=False):
     """Sharded volume eval + marching cubes over a device mesh.
 
     sdf_c: dtype-cast SDF expression pytree.  X/Y/Z: host float64 grid axis
@@ -206,7 +222,7 @@ def mesh_and_march(sdf_c, X, Y, Z, skip, tile, mesh, dtype, chunk_points=2**22):
 
     vol, case, totals, gmax_t, gmax_c, per_tile = _phase_count(
         sdf_c, Xd, Yd, Zsd, keep_d, mesh, c, ncz, tile,
-        keep.shape[2], chunk_points,
+        keep.shape[2], chunk_points, use_pallas, interpret,
     )
     # gmax_* are replicated (pmax over the mesh), so every host derives
     # identical static capacities without touching remote shards.

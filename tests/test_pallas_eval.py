@@ -41,7 +41,8 @@ def test_generate_with_pallas_matches_default():
         f, samples=2**13, verbose=False, dtype=jnp.float64, mesh=mesh1
     )
     b = engine.generate(
-        f, samples=2**13, verbose=False, dtype=jnp.float64, use_pallas=True
+        f, samples=2**13, verbose=False, dtype=jnp.float64, use_pallas=True,
+        mesh=mesh1,
     )
     np.testing.assert_allclose(a, b, rtol=1e-12, atol=1e-12)
 
@@ -58,3 +59,21 @@ def test_generate_pallas_fallback_on_texture_sdf():
         f, samples=2**12, verbose=False, use_pallas="auto"
     )
     assert len(pts) > 0
+
+
+def test_sharded_pallas_matches_sharded_xla():
+    import jax
+    from sdf_tpu.core.node import cast
+    from sdf_tpu.parallel.grid import make_mesh, mesh_and_march
+
+    f = cast(example(), jnp.float64)
+    mesh = make_mesh()
+    X = np.arange(-1.3, 1.3, 0.11)
+    skip = np.zeros((1, 1, 1), dtype=bool)
+    a, pta = mesh_and_march(f, X, X, X, skip, 32, mesh, jnp.float64)
+    b, ptb = mesh_and_march(
+        f, X, X, X, skip, 32, mesh, jnp.float64,
+        use_pallas=True, interpret=True,
+    )
+    np.testing.assert_allclose(a, b, rtol=1e-12, atol=1e-12)
+    np.testing.assert_array_equal(np.asarray(pta), np.asarray(ptb))
