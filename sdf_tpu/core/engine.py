@@ -301,6 +301,10 @@ def generate(
     dtype = dtype or jnp.float32
     stats = {}
 
+    if sparse == "tiles" and use_pallas is True:
+        raise ValueError(
+            "use_pallas=True is not supported with sparse='tiles' yet"
+        )
     if mesh is None and len(jax.devices()) > 1:
         from ..parallel import grid as pgrid
 
@@ -388,15 +392,24 @@ def generate(
             want_pallas = use_pallas
             if want_pallas is None:
                 want_pallas = "auto" if backend == "tpu" else False
-            key = (jax.tree_util.tree_structure(sdf_c), jnp.dtype(dtype))
+            key = (
+                jax.tree_util.tree_structure(sdf_c),
+                jnp.dtype(dtype),
+                (len(X), len(Y)),
+            )
             with _phase("mesh_and_march", stats):
-                if want_pallas and key not in _PALLAS_BROKEN:
+                if want_pallas and (
+                    use_pallas is True or key not in _PALLAS_BROKEN
+                ):
                     try:
                         verts, per_tile = pgrid.mesh_and_march(
                             sdf_c, X, Y, Z, skip, s, mesh, dtype,
                             use_pallas=True, interpret=(backend != "tpu"),
                         )
                     except Exception:
+                        # use_pallas=True means REQUIRED: surface failures.
+                        if use_pallas is True:
+                            raise
                         if len(_PALLAS_BROKEN) > 256:
                             _PALLAS_BROKEN.clear()
                         _PALLAS_BROKEN.add(key)

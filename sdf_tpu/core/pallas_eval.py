@@ -122,7 +122,7 @@ def _pick_bz(nx, ny, dtype):
     return int(max(1, min(8, (8 << 20) // max(1, slab_bytes) - 1)))
 
 
-def eval_and_classify_traced(sdf_c, X, Y, Zblk, interpret=False):
+def eval_and_classify_traced(sdf_c, X, Y, Zblk, bz=None, interpret=False):
     """Traced-input fused eval+classify, for use INSIDE jit/shard_map.
 
     X (nx,), Y (ny,), Zblk (nz,) are traced device arrays (e.g. one
@@ -131,7 +131,8 @@ def eval_and_classify_traced(sdf_c, X, Y, Zblk, interpret=False):
     """
     nx, ny, nz = X.shape[0], Y.shape[0], Zblk.shape[0]
     dtype = X.dtype
-    bz = _pick_bz(nx, ny, dtype)
+    if bz is None:
+        bz = _pick_bz(nx, ny, dtype)
     nchunks = max(1, -(-nz // bz))
     need = nchunks * bz + 1
     Zp = jnp.concatenate(
@@ -148,6 +149,11 @@ def eval_and_classify_traced(sdf_c, X, Y, Zblk, interpret=False):
     )
 
 
+@partial(jax.jit, static_argnames=("bz", "interpret"))
+def _eval_classify_jit(sdf_c, X, Y, Z, bz, interpret):
+    return eval_and_classify_traced(sdf_c, X, Y, Z, bz=bz, interpret=interpret)
+
+
 def eval_and_classify(sdf_c, X, Y, Z, dtype, bz=None, interpret=False):
     """Evaluate + classify a dense grid in one fused Pallas pass.
 
@@ -155,33 +161,15 @@ def eval_and_classify(sdf_c, X, Y, Z, dtype, bz=None, interpret=False):
     Returns (vol (nx,ny,nz), case (nx-1,ny-1,nz-1) int32) device arrays.
     Raises if the expression does not vectorize (callers fall back to the
     XLA path).  ``bz`` (z samples per block) defaults to whatever keeps a
-    (bz+1, nx, ny) slab within ~8 MB of VMEM (large grids overflowed the
-    16 MB budget at the previous fixed bz=8).
+    (bz+1, nx, ny) slab within ~8 MB of VMEM.
     """
-    nx, ny, nz = len(X), len(Y), len(Z)
     if bz is None:
-        bz = _pick_bz(nx, ny, dtype)
-    # Chunk over SAMPLES (nchunks * bz >= nz) so the last real sample is
-    # written by some block, not only read as a halo.  Padded samples
-    # repeat the last coordinate; padded cells are trimmed after.
-    nchunks = max(1, -(-nz // bz))
-    need = nchunks * bz + 1
-    Zp = np.concatenate([Z, np.full(need - nz, Z[-1])])
-    Zw = Zp[None, :]  # (1, nchunks*bz + 1), SMEM-resident in the kernel
-
-    leaves, treedef = jax.tree_util.tree_flatten(sdf_c)
-    leaves = [jnp.asarray(l, dtype=dtype) for l in leaves]
-    scalar = tuple(l.ndim == 0 for l in leaves)
-    leaves = [l.reshape(1) if l.ndim == 0 else l for l in leaves]
-    return _call(
-        tuple(leaves),
+        bz = _pick_bz(len(X), len(Y), dtype)
+    return _eval_classify_jit(
+        sdf_c,
         jnp.asarray(X, dtype=dtype),
         jnp.asarray(Y, dtype=dtype),
-        jnp.asarray(Zw, dtype=dtype),
-        _eval_root,
-        treedef,
-        scalar,
-        nz,
+        jnp.asarray(Z, dtype=dtype),
         bz,
         interpret,
     )

@@ -39,13 +39,19 @@ def _phase_count(sdf, X, Y, Z, tiles, live, mesh, cshape, tile, tpd, chunk):
         )
         gmax_t = jax.lax.pmax(total, AXIS)
         gmax_c = jax.lax.pmax(ncell, AXIS)
-        return vols, case, per_tile, gmax_t, gmax_c
+        # All-gather the per-tile counts so every HOST can assemble the
+        # full stats grid (addressable shards alone would be partial on
+        # a multi-host mesh).
+        per_tile_all = jax.lax.all_gather(per_tile, AXIS)  # (ndev, tpd)
+        return vols, case, per_tile_all, gmax_t, gmax_c
 
     return jax.shard_map(
         body,
         mesh=mesh,
         in_specs=(P(), P(), P(), P(AXIS), P(AXIS)),
-        out_specs=(P(AXIS), P(AXIS), P(AXIS), P(), P()),
+        out_specs=(P(AXIS), P(AXIS), P(), P(), P()),
+        # the vma checker cannot infer all_gather's output replication
+        check_vma=False,
     )(X, Y, Z, tiles, live)
 
 
@@ -73,8 +79,12 @@ def mesh_sparse_tiles_sharded(sdf_c, X, Y, Z, skip, tile, mesh, dtype,
                               chunk_tiles=128):
     """Sharded tiled-sparse pipeline over a device mesh.
 
-    Same contract as core.sparse.mesh_sparse_tiles; on a multi-host mesh
-    each host returns its local soup (assemble with gather_triangles).
+    Same inputs/outputs as core.sparse.mesh_sparse_tiles, with one
+    difference: triangle ORDER is device-major over the round-robin tile
+    assignment, not the single-device path's x-major tile order (compare
+    as sets).  On a multi-host mesh each host returns its local soup
+    (assemble with parallel.gather_triangles); per-tile stats are global
+    on every host.
     """
     ndev = mesh.devices.size
     nx, ny, nz = len(X), len(Y), len(Z)
@@ -86,8 +96,10 @@ def mesh_sparse_tiles_sharded(sdf_c, X, Y, Z, skip, tile, mesh, dtype,
         return np.zeros((0, 3), dtype=np.float64), np.zeros(
             skip.shape, dtype=np.int64
         )
-    # Pad the tile list to a per-device-equal, power-of-two-ish count.
-    tpd = -(-nt // ndev)
+    # Pad to a power-of-two per-device tile count: tpd is a static shape,
+    # so pow2 rounding keeps executable reuse as the active-tile count
+    # drifts between runs.
+    tpd = 1 << max(0, -(-nt // ndev) - 1).bit_length()
     ntc = tpd * ndev
     tiles = np.zeros((ntc, 3), dtype=np.int32)
     tiles[:nt] = active
@@ -112,13 +124,9 @@ def mesh_sparse_tiles_sharded(sdf_c, X, Y, Z, skip, tile, mesh, dtype,
     nmax = int(gmax_t)
 
     pt = np.zeros(skip.shape, dtype=np.int64)
-    # per-device per-tile counts -> global tile grid (addressable shards).
-    for sh in per_tile.addressable_shards:
-        start = sh.index[0].start or 0  # element offset into the tile list
-        counts = np.asarray(sh.data)  # (tpd,)
-        rows = tiles[start : start + len(counts)]
-        mask = live[start : start + len(counts)]
-        pt[tuple(rows[mask].T)] = counts[mask]
+    # per_tile is all-gathered (replicated): assemble the full grid.
+    counts_all = np.asarray(per_tile).reshape(-1)  # (ntc,) device-major
+    pt[tuple(tiles[live].T)] = counts_all[live]
 
     if nmax == 0:
         return np.zeros((0, 3), dtype=np.float64), pt

@@ -47,18 +47,47 @@ def test_generate_with_pallas_matches_default():
     np.testing.assert_allclose(a, b, rtol=1e-12, atol=1e-12)
 
 
-def test_generate_pallas_fallback_on_texture_sdf():
-    # Mesh/texture SDFs gather from grids: not Mosaic-vectorizable; the
-    # auto path must fall back to XLA instead of failing.
+def test_generate_pallas_failure_fallback_and_required(monkeypatch):
+    # On real TPUs non-vectorizable expressions fail Mosaic lowering (in
+    # CPU interpret mode even host callbacks run, so force a failure):
+    # auto must fall back to XLA and cache the failure; use_pallas=True
+    # means REQUIRED and must surface the error on both code paths.
+    import pytest
+    import jax
     import sdf_tpu as st
+    from sdf_tpu.core import pallas_eval
+    from sdf_tpu.parallel.grid import make_mesh
 
-    rng = np.random.RandomState(0)
-    v = rng.rand(8, 3) * 2 - 1
+    def boom(*a, **kw):
+        raise RuntimeError("mosaic lowering failed (simulated)")
+
+    monkeypatch.setattr(pallas_eval, "eval_and_classify", boom)
+    monkeypatch.setattr(pallas_eval, "eval_and_classify_traced", boom)
+
+    engine._PALLAS_BROKEN.clear()
     f = st.sphere(1)
+    mesh1 = make_mesh(jax.devices()[:1])
+
+    # single-device auto: fallback + cached
+    pts = engine.generate(
+        f, samples=2**12, verbose=False, use_pallas="auto", mesh=mesh1
+    )
+    assert len(pts) > 0 and len(engine._PALLAS_BROKEN) == 1
+
+    # sharded auto: fallback + cached
     pts = engine.generate(
         f, samples=2**12, verbose=False, use_pallas="auto"
     )
-    assert len(pts) > 0
+    assert len(pts) > 0 and len(engine._PALLAS_BROKEN) >= 1
+
+    # required: raises on both paths, even though the key is cached
+    with pytest.raises(RuntimeError):
+        engine.generate(
+            f, samples=2**12, verbose=False, use_pallas=True, mesh=mesh1
+        )
+    with pytest.raises(RuntimeError):
+        engine.generate(f, samples=2**12, verbose=False, use_pallas=True)
+    engine._PALLAS_BROKEN.clear()
 
 
 def test_sharded_pallas_matches_sharded_xla():
