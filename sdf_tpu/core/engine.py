@@ -6,15 +6,18 @@ batches out to a CPU thread pool and runs numpy + skimage per batch
 
   * grid *coordinates* are built on the host in float64 with ``np.arange``
     (identical grid dimensions to the reference, SURVEY.md 2.4.5),
-  * the SDF expression -- one jit-traced pytree -- is evaluated over the
-    whole dense volume in a single compiled program, chunked along z via
-    ``lax.map`` to bound working memory,
+  * bounds estimation runs as ONE on-device ``lax.while_loop``,
   * sparse tile culling reproduces the reference's ``_skip`` probe test
-    (center + 8 corners per 32^3 tile, ref sdf/core.py:28-43) as one batched
+    (center + 8 corners per tile, ref sdf/core.py:28-43) as one batched
     device evaluation feeding a per-cell mask,
-  * marching cubes runs on device (see sdf_tpu.core.mc); because reference
-    batches overlap by one sample plane, a single global pass is exactly
-    equivalent to its per-batch meshing.
+  * evaluation + marching cubes run on device: by default a fused Pallas
+    eval+classify kernel (core.pallas_eval) feeding the two-phase
+    count/emit mesher (core.mc); ``sparse="tiles"`` instead evaluates
+    only culled-in tiles (core.sparse); multi-device meshes shard
+    z-slabs (parallel.grid) or the active-tile list (parallel.sparse),
+  * because reference batches overlap by one sample plane, the global
+    (or per-tile/per-slab) passes are exactly equivalent to its
+    per-batch meshing.
 
 Output contract matches the reference: a flat (3*T, 3) array of vertices,
 three consecutive rows per triangle (ref sdf/core.py:128-150).
