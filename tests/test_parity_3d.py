@@ -95,6 +95,8 @@ OPS = [
     ("repeat_axis0", lambda m: m.sphere(0.3).repeat((1.5, 0, 0))),
     ("repeat_count", lambda m: m.sphere(0.3).repeat(1.2, count=2)),
     ("repeat_padding", lambda m: m.sphere(0.6).repeat(1.0, padding=1)),
+    ("repeat_padding_per_axis",
+     lambda m: m.sphere(0.6).repeat((1.2, 1.0, 0), padding=(1, 2, 0))),
     (
         "k_tag",
         lambda m: m.sphere(2) & m.slab(z0=-0.5, z1=0.5).k(0.1),
