@@ -75,3 +75,41 @@ def test_random_expression_parity(seed):
     a = np.asarray(ours(p)).reshape(-1)
     b = np.asarray(theirs(p)).reshape(-1)
     np.testing.assert_allclose(a, b, rtol=1e-9, atol=1e-9)
+
+
+def _leaf2(m, rng):
+    c = rng.randint(4)
+    if c == 0:
+        return m.circle(rng.uniform(0.3, 1.4), rng.uniform(-0.5, 0.5, 2))
+    if c == 1:
+        return m.rectangle(rng.uniform(0.4, 1.6, 2), rng.uniform(-0.5, 0.5, 2))
+    if c == 2:
+        return m.hexagon(rng.uniform(0.4, 1.2))
+    return m.vesica(rng.uniform(0.8, 1.4), rng.uniform(0.2, 0.6))
+
+
+def _build2(m, rng, depth):
+    if depth == 0:
+        return _leaf2(m, rng)
+    c = rng.randint(4)
+    f = _build2(m, rng, depth - 1)
+    if c == 0:
+        return f.translate(rng.uniform(-0.6, 0.6, 2))
+    if c == 1:
+        return f.rotate(rng.uniform(0, 3.1))
+    g = _build2(m, rng, rng.randint(depth))
+    if c == 2:
+        return f | g
+    return f.union(g, k=rng.uniform(0.05, 0.3))
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_random_2d_expression_parity(seed):
+    p = np.random.RandomState(2000 + seed).uniform(-2.5, 2.5, (1024, 2))
+    ours = _build2(st.d2, np.random.RandomState(seed), depth=4)
+    theirs = _build2(ref.d2, np.random.RandomState(seed), depth=4)
+    np.testing.assert_allclose(
+        np.asarray(ours(p)).reshape(-1),
+        np.asarray(theirs(p)).reshape(-1),
+        rtol=1e-9, atol=1e-9,
+    )
