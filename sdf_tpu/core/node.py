@@ -169,8 +169,6 @@ def as_param(value, dtype=np.float64):
 
 def cast(node, dtype):
     """Return a copy of an SDF expression with every numeric leaf cast."""
-    import jax.numpy as jnp
-
     return jax.tree_util.tree_map(lambda x: jnp.asarray(x, dtype=dtype), node)
 
 
@@ -253,9 +251,6 @@ class SDF3(_Node):
         Not possible in the reference (opaque numpy closures); here the
         whole CSG tree differentiates in one reverse pass.
         """
-        import jax
-        import jax.numpy as jnp
-
         dtype = dtype or jnp.float32
         node = cast(self, dtype)
         p = jnp.asarray(p, dtype=dtype)
@@ -267,8 +262,6 @@ class SDF3(_Node):
 
     def normal(self, p, dtype=None):
         """Unit surface normal (normalized gradient) at (N, 3) points."""
-        import jax.numpy as jnp
-
         g = self.gradient(p, dtype)
         n = jnp.linalg.norm(g, axis=1, keepdims=True)
         return g / jnp.where(n == 0, 1.0, n)
@@ -296,7 +289,7 @@ def _unflatten(aux, children):
 
 
 for _cls in (SDF3, SDF2):
-    jax.tree_util.register_pytree_node(_cls, _flatten, functools.partial(_unflatten))
+    jax.tree_util.register_pytree_node(_cls, _flatten, _unflatten)
 
 
 def node_k(node):
@@ -365,7 +358,10 @@ def _wrap_legacy(f, dim):
                 state["tier"] = 0
                 return out
             except _TIER_ERRORS:
-                pass
+                # A tier-0 closure can fail in a new shape context (e.g.
+                # broadcast SoA components after flat ones): retry the
+                # materialized tier rather than trusting the memo.
+                state["tier"] = None
         shape = p.bshape
         arr = jnp.stack(
             [jnp.broadcast_to(c, shape).reshape(-1) for c in p.c], axis=-1

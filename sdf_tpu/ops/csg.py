@@ -143,6 +143,11 @@ def repeat(other, spacing, count=None, padding=0):
     and the child is min-reduced over a ``(2 padding + 1)^dim`` neighbor
     stencil.  The stencil is static, so under jit it unrolls into
     ``len(stencil)`` fused child evaluations.
+
+    NOTE: the axis-enable pattern and the stencil are fixed at
+    construction (exactly like the reference's closure capture); when
+    substituting the ``spacing`` pytree leaf, keep its zero-pattern --
+    switching an axis between zero and nonzero requires rebuilding the op.
     """
     spacing_np = np.atleast_1d(np.asarray(spacing, dtype=np.float64))
     params = {

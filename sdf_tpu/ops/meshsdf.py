@@ -30,94 +30,112 @@ from ..core.node import as_param
 from .shapes3 import box, sdf3
 
 
-@partial(jax.jit, static_argnames=("chunks",))
-def _mesh_distance_field(points, tri_a, tri_b, tri_c, chunks):
+@partial(jax.jit, static_argnames=("chunks", "tchunks"))
+def _mesh_distance_field(points, tri_a, tri_b, tri_c, chunks, tchunks=1):
     """Signed distances from query points to a triangle soup.
 
     points: (N, 3) query points (N divisible by chunks)
-    tri_a/b/c: (T, 3) triangle vertices
+    tri_a/b/c: (T, 3) triangle vertices (T divisible by tchunks; pad with
+    degenerate far-away triangles -- zero area contributes no winding)
     Returns (N,) signed distance (negative inside by winding number).
+
+    Both axes are chunked: lax.map over point chunks and a fori_loop over
+    triangle chunks carrying (running min dist^2, winding sum), so peak
+    memory is (n_chunk x t_chunk) instead of (n_chunk x T) -- a 500k-
+    triangle scan no longer OOMs.
     """
+    ta_all = tri_a.reshape(tchunks, -1, 3)
+    tb_all = tri_b.reshape(tchunks, -1, 3)
+    tc_all = tri_c.reshape(tchunks, -1, 3)
 
     def one_chunk(p):
-        # p: (n, 3); broadcast against all T triangles.
-        a = tri_a[None, :, :]  # (1, T, 3)
-        b = tri_b[None, :, :]
-        c = tri_c[None, :, :]
-        q = p[:, None, :]  # (n, 1, 3)
+        n = p.shape[0]
 
-        # --- exact point-triangle distance (Ericson, Real-Time Collision
-        # Detection 5.1.5), vectorized over (n, T) pairs -----------------
-        ab = b - a
-        ac = c - a
-        ap = q - a
-        d1 = jnp.sum(ab * ap, -1)
-        d2 = jnp.sum(ac * ap, -1)
-        bp = q - b
-        d3 = jnp.sum(ab * bp, -1)
-        d4 = jnp.sum(ac * bp, -1)
-        cp = q - c
-        d5 = jnp.sum(ab * cp, -1)
-        d6 = jnp.sum(ac * cp, -1)
+        def tri_block(k, carry):
+            best2, winding = carry
+            a = ta_all[k][None, :, :]  # (1, tc, 3)
+            b = tb_all[k][None, :, :]
+            c = tc_all[k][None, :, :]
+            q = p[:, None, :]  # (n, 1, 3)
 
-        va = d3 * d6 - d5 * d4
-        vb = d5 * d2 - d1 * d6
-        vc = d1 * d4 - d3 * d2
+            # --- exact point-triangle distance (Ericson, Real-Time Collision
+            # Detection 5.1.5), vectorized over (n, T) pairs -----------------
+            ab = b - a
+            ac = c - a
+            ap = q - a
+            d1 = jnp.sum(ab * ap, -1)
+            d2 = jnp.sum(ac * ap, -1)
+            bp = q - b
+            d3 = jnp.sum(ab * bp, -1)
+            d4 = jnp.sum(ac * bp, -1)
+            cp = q - c
+            d5 = jnp.sum(ab * cp, -1)
+            d6 = jnp.sum(ac * cp, -1)
 
-        eps = jnp.asarray(1e-30, p.dtype)
+            va = d3 * d6 - d5 * d4
+            vb = d5 * d2 - d1 * d6
+            vc = d1 * d4 - d3 * d2
 
-        def safe_div(num, den):
-            return num / jnp.where(jnp.abs(den) < eps, eps, den)
+            eps = jnp.asarray(1e-30, p.dtype)
 
-        # Region tests, resolved with nested where (branch-free for TPU).
-        v_ab = jnp.clip(safe_div(d1, d1 - d3), 0.0, 1.0)
-        v_ac = jnp.clip(safe_div(d2, d2 - d6), 0.0, 1.0)
-        v_bc = jnp.clip(safe_div(d4 - d3, (d4 - d3) + (d5 - d6)), 0.0, 1.0)
+            def safe_div(num, den):
+                return num / jnp.where(jnp.abs(den) < eps, eps, den)
 
-        denom = safe_div(jnp.ones_like(va), va + vb + vc)
-        v = vb * denom
-        w = vc * denom
+            # Region tests, resolved with nested where (branch-free for TPU).
+            v_ab = jnp.clip(safe_div(d1, d1 - d3), 0.0, 1.0)
+            v_ac = jnp.clip(safe_div(d2, d2 - d6), 0.0, 1.0)
+            v_bc = jnp.clip(safe_div(d4 - d3, (d4 - d3) + (d5 - d6)), 0.0, 1.0)
 
-        closest_face = a + ab * v[..., None] + ac * w[..., None]
-        closest_ab = a + ab * v_ab[..., None]
-        closest_ac = a + ac * v_ac[..., None]
-        closest_bc = b + (c - b) * v_bc[..., None]
+            denom = safe_div(jnp.ones_like(va), va + vb + vc)
+            v = vb * denom
+            w = vc * denom
 
-        in_vert_a = (d1 <= 0) & (d2 <= 0)
-        in_vert_b = (d3 >= 0) & (d4 <= d3)
-        in_vert_c = (d6 >= 0) & (d5 <= d6)
-        in_edge_ab = (vc <= 0) & (d1 >= 0) & (d3 <= 0)
-        in_edge_ac = (vb <= 0) & (d2 >= 0) & (d6 <= 0)
-        in_edge_bc = (va <= 0) & (d4 - d3 >= 0) & (d5 - d6 >= 0)
+            closest_face = a + ab * v[..., None] + ac * w[..., None]
+            closest_ab = a + ab * v_ab[..., None]
+            closest_ac = a + ac * v_ac[..., None]
+            closest_bc = b + (c - b) * v_bc[..., None]
 
-        closest = closest_face
-        closest = jnp.where(in_edge_bc[..., None], closest_bc, closest)
-        closest = jnp.where(in_edge_ac[..., None], closest_ac, closest)
-        closest = jnp.where(in_edge_ab[..., None], closest_ab, closest)
-        closest = jnp.where(in_vert_c[..., None], c, closest)
-        closest = jnp.where(in_vert_b[..., None], b, closest)
-        closest = jnp.where(in_vert_a[..., None], a, closest)
+            in_vert_a = (d1 <= 0) & (d2 <= 0)
+            in_vert_b = (d3 >= 0) & (d4 <= d3)
+            in_vert_c = (d6 >= 0) & (d5 <= d6)
+            in_edge_ab = (vc <= 0) & (d1 >= 0) & (d3 <= 0)
+            in_edge_ac = (vb <= 0) & (d2 >= 0) & (d6 <= 0)
+            in_edge_bc = (va <= 0) & (d4 - d3 >= 0) & (d5 - d6 >= 0)
 
-        dist2 = jnp.sum((q - closest) ** 2, -1)  # (n, T)
-        dist = jnp.sqrt(jnp.min(dist2, axis=1))
+            closest = closest_face
+            closest = jnp.where(in_edge_bc[..., None], closest_bc, closest)
+            closest = jnp.where(in_edge_ac[..., None], closest_ac, closest)
+            closest = jnp.where(in_edge_ab[..., None], closest_ab, closest)
+            closest = jnp.where(in_vert_c[..., None], c, closest)
+            closest = jnp.where(in_vert_b[..., None], b, closest)
+            closest = jnp.where(in_vert_a[..., None], a, closest)
 
-        # --- sign via generalized winding number (sum of solid angles) ---
-        ra = a - q
-        rb = b - q
-        rc = c - q
-        la = jnp.linalg.norm(ra, axis=-1)
-        lb = jnp.linalg.norm(rb, axis=-1)
-        lc = jnp.linalg.norm(rc, axis=-1)
-        det = jnp.sum(ra * jnp.cross(rb, rc), -1)
-        dd = (
-            la * lb * lc
-            + jnp.sum(ra * rb, -1) * lc
-            + jnp.sum(rb * rc, -1) * la
-            + jnp.sum(rc * ra, -1) * lb
-        )
-        omega = 2.0 * jnp.arctan2(det, dd)  # (n, T)
-        winding = jnp.sum(omega, axis=1) / (4.0 * jnp.pi)
-        return jnp.where(winding > 0.5, -dist, dist)
+            dist2 = jnp.sum((q - closest) ** 2, -1)  # (n, tc)
+            best2 = jnp.minimum(best2, jnp.min(dist2, axis=1))
+
+            # --- sign: generalized winding number (sum of solid angles) --
+            ra = a - q
+            rb = b - q
+            rc = c - q
+            la = jnp.linalg.norm(ra, axis=-1)
+            lb = jnp.linalg.norm(rb, axis=-1)
+            lc = jnp.linalg.norm(rc, axis=-1)
+            det = jnp.sum(ra * jnp.cross(rb, rc), -1)
+            dd = (
+                la * lb * lc
+                + jnp.sum(ra * rb, -1) * lc
+                + jnp.sum(rb * rc, -1) * la
+                + jnp.sum(rc * ra, -1) * lb
+            )
+            omega = 2.0 * jnp.arctan2(det, dd)  # (n, tc)
+            winding = winding + jnp.sum(omega, axis=1)
+            return best2, winding
+
+        best2 = jnp.full((n,), jnp.inf, dtype=p.dtype)
+        winding = jnp.zeros((n,), dtype=p.dtype)
+        best2, winding = jax.lax.fori_loop(0, tchunks, tri_block, (best2, winding))
+        dist = jnp.sqrt(best2)
+        return jnp.where(winding / (4.0 * jnp.pi) > 0.5, -dist, dist)
 
     return jax.lax.map(one_chunk, points.reshape(chunks, -1, 3)).reshape(-1)
 
@@ -203,12 +221,23 @@ class Mesh:
             chunks = len(P) // chunk_points
 
         tris = self.points[self.triangles]  # (T, 3, 3)
+        # Triangle-axis chunking: bound the (points x triangles) pairwise
+        # working set (~2^25 pairs), padding with degenerate far-away
+        # triangles (zero area: no winding contribution).
+        T = len(tris)
+        tchunk = max(1, min(T, (1 << 25) // max(1, chunk_points)))
+        tchunks = -(-T // tchunk)
+        padT = tchunks * tchunk - T
+        if padT:
+            far = np.full((padT, 3, 3), 1e9, dtype=tris.dtype)
+            tris = np.concatenate([tris, far])
         dist = _mesh_distance_field(
             jnp.asarray(P, dtype=jnp.float32),
             jnp.asarray(tris[:, 0], dtype=jnp.float32),
             jnp.asarray(tris[:, 1], dtype=jnp.float32),
             jnp.asarray(tris[:, 2], dtype=jnp.float32),
             chunks,
+            tchunks,
         )
         A = np.asarray(dist, dtype=np.float32)[:n].reshape(tuple(size))
         A = np.clip(A, -background, background)  # narrow-band clamp (OpenVDB-like)

@@ -192,35 +192,50 @@ def rounded_x(w, r):
     def fn(q, p):
         p = abs(p)
         d = _min(p.c[0] + p.c[1], q["w"]) * 0.5
-        return _length(p - d) - q["r"]
+        # subtract the per-point field from EACH component explicitly:
+        # `p - d` would misread a (dim,)-shaped field as a per-component
+        # vector when the batch size happens to equal dim (reproduced by
+        # code review at exactly 2 points).
+        return _length(_vec(p.c[0] - d, p.c[1] - d)) - q["r"]
 
     return fn, params
 
 
 @sdf2
 def polygon(points):
-    points = [as_param(p) for p in points]
-    params = {"points": points}
+    # One (n, 2) param leaf + a rolled lax.fori_loop over edges: the
+    # reference's per-vertex Python loop would unroll ~15 ops per vertex
+    # into the jaxpr (minutes-long compiles for digitized outlines).
+    params = {"points": as_param(np.asarray(points, dtype=np.float64))}
 
     def fn(q, p):
-        pts = q["points"]
-        n = len(pts)
-        p0 = p - pts[0]
-        d = _dot(p0, p0)
-        s = jnp.ones(())
-        for i in range(n):
-            j = (i + n - 1) % n
+        import jax
+
+        pts = jnp.asarray(q["points"])  # (n, 2); jnp: indexed by traced i
+        n = pts.shape[0]
+        x, y = p.c
+        shape = jnp.broadcast_shapes(jnp.shape(x), jnp.shape(y))
+        d0x = x - pts[0, 0]
+        d0y = y - pts[0, 1]
+        d = jnp.broadcast_to(d0x * d0x + d0y * d0y, shape)
+        s = jnp.ones(shape, dtype=d.dtype)
+
+        def body(i, carry):
+            d, s = carry
             vi = pts[i]
-            vj = pts[j]
-            e = vj - vi
-            w = p - vi
-            t = jnp.clip(_mdot(w, e) / jnp.dot(e, e), 0, 1)
-            b = w - _vmul(e, t)
-            d = _min(d, _dot(b, b))
-            c1 = p.c[1] >= vi[1]
-            c2 = p.c[1] < vj[1]
-            c3 = e[0] * w.c[1] > e[1] * w.c[0]
+            vj = pts[(i + n - 1) % n]
+            ex, ey = vj[0] - vi[0], vj[1] - vi[1]
+            wx, wy = x - vi[0], y - vi[1]
+            t = jnp.clip((wx * ex + wy * ey) / (ex * ex + ey * ey), 0, 1)
+            bx, by = wx - ex * t, wy - ey * t
+            d = _min(d, bx * bx + by * by)
+            c1 = y >= vi[1]
+            c2 = y < vj[1]
+            c3 = ex * wy > ey * wx
             s = jnp.where((c1 & c2 & c3) | (~c1 & ~c2 & ~c3), -s, s)
+            return d, s
+
+        d, s = jax.lax.fori_loop(0, n, body, (d, s))
         return s * jnp.sqrt(d)
 
     return fn, params

@@ -126,7 +126,7 @@ def _texture_sdf(width, height, pixels, px, py, im):
     rectangle = d2.rectangle((width / 2, height / 2))
 
     params = {"texture": as_param(texture), "rectangle": rectangle}
-    extent = (x0, y0, x1, y1, pw, ph, px, py, tw, th)
+    extent = (x0, y0, x1, y1)
 
     def fn(q, p):
         tex = q["texture"]
