@@ -21,49 +21,19 @@ Y = np.array((0, 1))
 
 UP = Y
 
-# Helpers
+# Helpers shared with shapes3 (see ops/vecmath.py)
 
-
-def _length(a):
-    # Grad-safe norm (zero, not NaN, at ||a|| == 0); see shapes3._length.
-    sq = sum(c * c for c in a.c)
-    return jnp.where(sq == 0, 0.0, jnp.sqrt(jnp.where(sq == 0, 1.0, sq)))
-
-
-def _normalize(a):
-    return a / np.linalg.norm(a)
-
-
-def _dot(a, b):
-    return sum(x * y for x, y in zip(a.c, b.c))
-
-
-def _mdot(p, m):
-    """``p @ m`` for Points and a tiny vector/matrix without an MXU matmul
-    (see sdf_tpu.ops.shapes3._mdot)."""
-    m = jnp.asarray(m)
-    if m.ndim == 1:
-        return sum(c * m[i] for i, c in enumerate(p.c))
-    return Points(
-        *[sum(c * m[i, j] for i, c in enumerate(p.c)) for j in range(m.shape[1])]
-    )
-
-
-def _vmul(v, s):
-    v = jnp.asarray(v)
-    return Points(*[v[i] * s for i in range(v.shape[0])])
-
-
-_vec = Points
-
-_min = jnp.minimum
-_max = jnp.maximum
-
-
-def _pmax(a, b):
-    if isinstance(b, Points):
-        return Points(*[jnp.maximum(x, y) for x, y in zip(a.c, b.c)])
-    return Points(*[jnp.maximum(x, b) for x in a.c])
+from .vecmath import (  # noqa: E402
+    _dot,
+    _length,
+    _max,
+    _mdot,
+    _min,
+    _normalize,
+    _pmax,
+    _vec,
+    _vmul,
+)
 
 
 # Primitives

@@ -32,45 +32,19 @@ Z = np.array((0, 0, 1))
 
 UP = Z
 
-# Helpers (ref sdf/d3.py:67-85)
+# Helpers (ref sdf/d3.py:67-85) -- shared with shapes2 via ops/vecmath.py
 
-
-def _length(a):
-    # Double-where safe norm over Points components: value-identical to a
-    # euclidean norm, but the gradient at ||a|| == 0 is 0 instead of NaN
-    # (interior points of box-like shapes evaluate _length(max(d, 0)) at
-    # exactly 0, which would poison parameter gradients under jax.grad).
-    sq = sum(c * c for c in a.c)
-    return jnp.where(sq == 0, 0.0, jnp.sqrt(jnp.where(sq == 0, 1.0, sq)))
-
-
-def _normalize(a):
-    return a / np.linalg.norm(a)
-
-
-def _dot(a, b):
-    return sum(x * y for x, y in zip(a.c, b.c))
-
-
-def _mdot(p, m):
-    """``p @ m`` for Points and a tiny vector/matrix, as explicit
-    multiply-adds (a dot_general's size-3 contraction would pad onto the
-    128-wide MXU: ~40x wasted work per point on TPU)."""
-    m = jnp.asarray(m)
-    if m.ndim == 1:
-        return sum(c * m[i] for i, c in enumerate(p.c))
-    return Points(
-        *[sum(c * m[i, j] for i, c in enumerate(p.c)) for j in range(m.shape[1])]
-    )
-
-
-def _vmul(v, s):
-    """Per-component product of a tiny (d,) vector with a field array ``s``."""
-    v = jnp.asarray(v)
-    return Points(*[v[i] * s for i in range(v.shape[0])])
-
-
-_vec = Points
+from .vecmath import (  # noqa: E402
+    _dot,
+    _length,
+    _max,
+    _mdot,
+    _min,
+    _normalize,
+    _pmax,
+    _vec,
+    _vmul,
+)
 
 
 def _perpendicular(v):
@@ -79,17 +53,6 @@ def _perpendicular(v):
             raise ValueError("zero vector")
         return np.cross(v, [0, 1, 0])
     return np.cross(v, [1, 0, 0])
-
-
-_min = jnp.minimum
-_max = jnp.maximum
-
-
-def _pmax(a, b):
-    """Componentwise maximum of Points against a scalar/vector."""
-    if isinstance(b, Points):
-        return Points(*[jnp.maximum(x, y) for x, y in zip(a.c, b.c)])
-    return Points(*[jnp.maximum(x, b) for x in a.c])
 
 
 # Primitives
