@@ -16,16 +16,29 @@ import numpy as np  # the reference's star-export leaks np; scripts rely on it
 # disk makes every later process start warm.  Opt out with
 # SDF_TPU_NO_COMPILE_CACHE=1 or override the location via
 # JAX_COMPILATION_CACHE_DIR (which takes precedence automatically).
+def enable_compile_cache(path=None):
+    """Point JAX's persistent compilation cache at ``path`` (explicit opt-in
+    to mutating process-global JAX config from library code)."""
+    import jax as _jax
+
+    _jax.config.update(
+        "jax_compilation_cache_dir",
+        path or _os.path.expanduser("~/.cache/sdf_tpu/xla"),
+    )
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 if not _os.environ.get("SDF_TPU_NO_COMPILE_CACHE"):
     try:
         import jax as _jax
 
-        if _os.environ.get("JAX_COMPILATION_CACHE_DIR") is None:
-            _jax.config.update(
-                "jax_compilation_cache_dir",
-                _os.path.expanduser("~/.cache/sdf_tpu/xla"),
-            )
-        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # Defer to any user-configured cache (env var or prior
+        # jax.config.update); only fill in a default when none is set.
+        if (
+            _os.environ.get("JAX_COMPILATION_CACHE_DIR") is None
+            and _jax.config.jax_compilation_cache_dir is None
+        ):
+            enable_compile_cache()
     except Exception:  # pragma: no cover - cache is best-effort
         pass
 

@@ -29,6 +29,15 @@ from . import mc
 from .node import Points
 
 
+def _warn_overflow(total, capacity):
+    import warnings
+
+    warnings.warn(
+        "diffmesh.extract: surface has %d triangles but capacity=%d; "
+        "extra triangles were dropped -- raise capacity=" % (int(total), capacity)
+    )
+
+
 @partial(jax.jit, static_argnames=("capacity", "shape"))
 def _extract(node, grid01, origin, step, capacity, shape):
     nx, ny, nz = shape
@@ -38,16 +47,25 @@ def _extract(node, grid01, origin, step, capacity, shape):
     p = Points(X[:, None, None], Y[None, :, None], Z[None, None, :])
     vol = jnp.broadcast_to(node(p), shape)
     keep = jnp.ones((nx - 1, ny - 1, nz - 1), dtype=bool)
-    verts9, n = mc.emit(vol, keep, capacity)  # (9, capacity) SoA
-    # Clamp: if the surface outgrows the static buffer the extra
-    # triangles are dropped; n and valid must describe the kept ones.
-    n = jnp.minimum(n, capacity)
+    # True triangle total (independent of the static buffers): overflow
+    # must be observable, not silently clamped -- a fitting loss seeing a
+    # truncated surface is a silent wrong-gradient bug.
+    case = mc._cell_cases(vol)
+    total = jnp.sum(jnp.asarray(mc.NTRI_TABLE)[case])
+    verts9, n = mc.emit(vol, keep, capacity, case=case)  # (9, capacity) SoA
+    kept = jnp.minimum(jnp.minimum(n, total), capacity)
+    jax.lax.cond(
+        total > capacity,
+        lambda t: jax.debug.callback(_warn_overflow, t, capacity),
+        lambda t: None,
+        total,
+    )
     sc = jnp.tile(step, 3)[:, None]
     org = jnp.tile(origin, 3)[:, None]
     world9 = verts9 * sc + org
     world = world9.T.reshape(capacity, 3, 3)
-    valid = jnp.arange(capacity) < n
-    return world, n, valid
+    valid = jnp.arange(capacity) < kept
+    return world, total, valid
 
 
 def extract(node, bounds, resolution=64, capacity=None, dtype=jnp.float32):
@@ -60,8 +78,10 @@ def extract(node, bounds, resolution=64, capacity=None, dtype=jnp.float32):
 
     Returns (verts, n, valid): verts (capacity, 3, 3) world-space triangle
     vertices -- differentiable w.r.t. ``node``'s parameters -- with rows
-    where ``valid`` is False being garbage to mask out of any loss;
-    n the live triangle count.
+    where ``valid`` is False being garbage to mask out of any loss.
+    ``n`` is the TRUE triangle total of the surface; overflow is
+    observable as ``n > capacity`` (only ``capacity`` triangles are kept,
+    ``valid`` flags them, and a warning fires via ``jax.debug.callback``).
     """
     try:
         rx, ry, rz = resolution
@@ -89,4 +109,5 @@ def mean_vertex(node, bounds, resolution=64, capacity=None, dtype=jnp.float32):
     """Mass-center of the extracted surface (a simple differentiable probe)."""
     verts, n, valid = extract(node, bounds, resolution, capacity, dtype)
     w = valid.astype(verts.dtype)[:, None, None]
-    return jnp.sum(verts * w, axis=(0, 1)) / jnp.maximum(3.0 * n, 1.0)
+    kept = jnp.sum(valid)  # n can exceed capacity under overflow
+    return jnp.sum(verts * w, axis=(0, 1)) / jnp.maximum(3.0 * kept, 1.0)

@@ -47,7 +47,17 @@ BATCH_SIZE = 32
 _TARGET_CHUNK_POINTS = 2**22
 
 # Expression structures whose Pallas lowering failed (see generate()).
+# Keyed on a *structural fingerprint* (utils.checkpoint.structure_key):
+# rebuilding the same model yields fresh closure identities, so treedef
+# identity would re-pay one failed TPU compile (minutes through a tunnel)
+# per rebuild; the structural hash is stable across rebuilds/processes.
 _PALLAS_BROKEN = set()
+
+
+def _pallas_key(sdf_c, dtype, nxy):
+    from ..utils import checkpoint as ckpt
+
+    return ckpt.structure_key(sdf_c, jnp.dtype(dtype).str, nxy)
 
 # Structured report of the most recent generate() (phase wall times in
 # seconds + batch/triangle counters).  The reference only prints
@@ -268,6 +278,45 @@ def _skip_mask(sdf_c, X, Y, Z, batch_size, dtype):
     return (far & same).reshape(tx, ty, tz)
 
 
+# Box triangulation used for debug markers: 36 corner ids (12 triangles)
+# over corners ordered product((x0,x1),(y0,y1),(z0,z1)); same winding as
+# the reference's debug boxes (ref sdf/core.py:166-200).
+_DEBUG_BOX_IDX = np.array(
+    [3, 5, 7, 5, 3, 1, 0, 6, 4, 6, 0, 2, 0, 5, 1, 5, 0, 4,
+     5, 6, 7, 6, 5, 4, 6, 3, 7, 3, 6, 2, 0, 3, 2, 3, 0, 1]
+)
+
+
+def _debug_triangles(X, Y, Z, tiles, batch_size, inset=0.25):
+    """Inset marker boxes for a list of (i, j, k) tile indices.
+
+    The reference's visual debugging affordance for skipped/empty batches
+    (ref sdf/core.py:49,57,166-200, comment-toggled there; exposed here as
+    ``generate(..., debug=True)``): each flagged batch contributes a box
+    shrunk ``inset`` into its extent, so holes in a mesh can be attributed
+    to culled vs surface-free batches by eye.  Returns (36 * ntiles, 3).
+    """
+    tiles = np.asarray(tiles).reshape(-1, 3)
+    if len(tiles) == 0:
+        return np.zeros((0, 3), dtype=np.float64)
+    s = batch_size
+    axes = []
+    for coords, t in zip((X, Y, Z), tiles.T):
+        lo = coords[t * s]
+        hi = coords[np.minimum(t * s + s, len(coords) - 1)]
+        span = (hi - lo) * inset
+        axes.append((lo + span, hi - span))  # (2-tuple of (ntiles,))
+    corner_id = np.arange(8)
+    corners = np.stack(
+        [
+            np.where((corner_id >> (2 - a)) & 1, axes[a][1][:, None], axes[a][0][:, None])
+            for a in range(3)
+        ],
+        axis=-1,
+    )  # (ntiles, 8, 3)
+    return corners[:, _DEBUG_BOX_IDX, :].reshape(-1, 3).astype(np.float64)
+
+
 def generate(
     sdf,
     step=None,
@@ -281,6 +330,7 @@ def generate(
     mesh=None,
     checkpoint=None,
     use_pallas=None,
+    debug=False,
 ):
     """Sample the SDF on a dense grid and mesh it (ref sdf/core.py:84-150).
 
@@ -299,10 +349,22 @@ def generate(
     additionally restricts *evaluation* to non-culled tiles (the
     reference skips evaluating culled batches too; the dense device path
     trades that for one fused pass).
+    ``debug=True`` appends an inset marker box for every skipped or empty
+    batch (the reference's comment-toggled ``_debug_triangles`` debugging
+    affordance, ref sdf/core.py:49,57,166-200).
     """
     start = time.time()
     dtype = dtype or jnp.float32
     stats = {}
+
+    if workers is not None:
+        import warnings
+
+        warnings.warn(
+            "generate(workers=...) has no effect: parallelism is the "
+            "device mesh (pass mesh=), not a thread pool",
+            stacklevel=2,
+        )
 
     if sparse == "tiles" and use_pallas is True:
         raise ValueError(
@@ -395,11 +457,7 @@ def generate(
             want_pallas = use_pallas
             if want_pallas is None:
                 want_pallas = "auto" if backend == "tpu" else False
-            key = (
-                jax.tree_util.tree_structure(sdf_c),
-                jnp.dtype(dtype),
-                (len(X), len(Y)),
-            )
+            key = _pallas_key(sdf_c, dtype, (len(X), len(Y)))
             with _phase("mesh_and_march", stats):
                 if want_pallas and (
                     use_pallas is True or key not in _PALLAS_BROKEN
@@ -445,11 +503,10 @@ def generate(
 
             # Successful compiles are cached by jit, but FAILED compiles
             # are retried on every call (each costing a full compile
-            # round trip); remember failures per expression structure and
-            # dtype.  (Re-building the same expression yields a different
-            # treedef -- fn identities differ -- so rebuilt expressions
-            # still re-pay one failed compile each.)
-            key = (jax.tree_util.tree_structure(sdf_c), jnp.dtype(dtype))
+            # round trip); remember failures per expression *structure*
+            # (closure statics included), dtype and xy extent -- stable
+            # across rebuilds of the same model.
+            key = _pallas_key(sdf_c, dtype, (len(X), len(Y)))
             if use_pallas is True or key not in _PALLAS_BROKEN:
                 try:
                     with _phase("pallas_eval", stats):
@@ -514,6 +571,12 @@ def generate(
     skipped = int(skip.sum())
     nonempty = int(((pt > 0) & ~skip).sum())
     empty = num_batches - skipped - nonempty
+
+    if debug:
+        flagged = np.argwhere(skip | (pt == 0))
+        points = np.concatenate(
+            [points, _debug_triangles(X, Y, Z, flagged, s)], axis=0
+        )
     triangles = len(points) // 3
     seconds = time.time() - start
     stats.update(

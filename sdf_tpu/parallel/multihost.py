@@ -18,6 +18,8 @@ devices; this module wraps the jax.distributed runtime so a multi-host
 
 from __future__ import annotations
 
+import os
+
 import jax
 import numpy as np
 
@@ -43,12 +45,32 @@ def initialize(**kwargs):
             )
         jax.distributed.initialize(**kwargs)
     else:
-        # Env-driven bring-up (TPU pod runtimes set the cluster env);
-        # harmless single-process no-op when no cluster env is present.
-        try:
-            jax.distributed.initialize()
-        except Exception:
-            pass
+        # Env-driven bring-up (TPU pod runtimes set the cluster env).
+        # Only the "no cluster environment detected" outcome (jax's
+        # coordinator_address ValueError before any connection attempt)
+        # is a harmless single-process no-op; every other failure --
+        # connection refused / timeout on a misconfigured pod -- must
+        # raise rather than silently proceeding single-host.
+        if already:
+            # Too late for env-driven bring-up (jax raises uncondition-
+            # ally).  Harmless single-process no-op UNLESS a coordinator
+            # is explicitly configured, which means the caller expected
+            # a multi-process run.
+            if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+                "COORDINATOR_ADDRESS"
+            ):
+                raise RuntimeError(
+                    "a cluster coordinator is configured in the "
+                    "environment but the JAX backend already initialized; "
+                    "call sdf_tpu.parallel.initialize() before any other "
+                    "jax use"
+                )
+        else:
+            try:
+                jax.distributed.initialize()
+            except ValueError as e:
+                if "coordinator_address" not in str(e):
+                    raise
     return jax.process_index(), jax.process_count()
 
 

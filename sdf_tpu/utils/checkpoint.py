@@ -14,24 +14,106 @@ from __future__ import annotations
 import hashlib
 import os
 import re
+import types
 
 import jax
 import numpy as np
 
 
+def _feed_array(h, a):
+    a = np.ascontiguousarray(np.asarray(a))
+    # Shape/dtype prefix: raw byte concatenation is boundary-blind
+    # (X=[0,1,2],Y=[3,4] would collide with X=[0,1],Y=[2,3,4]).
+    h.update(repr((a.shape, a.dtype.str)).encode())
+    h.update(a.tobytes())
+
+
+def _feed_static(h, obj, seen):
+    """Hash a *static* Python object reachable from an expression.
+
+    Statics live outside the pytree: values captured in op closures
+    (circular_array's angle step, repeat's padding stencil, an easing
+    function passed as a shape argument).  Two expressions that differ
+    only in such a capture produce different fingerprints.  Cycles and
+    shared objects are broken with an id-memo; the memo marker itself is
+    fed so aliasing structure stays part of the hash.
+    """
+    i = id(obj)
+    if i in seen:
+        h.update(b"<cyc>")
+        return
+    if isinstance(obj, types.FunctionType):
+        seen.add(i)
+        code = obj.__code__
+        h.update(code.co_code)
+        for const in code.co_consts:
+            _feed_static(h, const, seen)
+        for cell in obj.__closure__ or ():
+            try:
+                _feed_static(h, cell.cell_contents, seen)
+            except ValueError:  # empty cell
+                h.update(b"<empty>")
+        for v in (obj.__defaults__ or ()):
+            _feed_static(h, v, seen)
+        return
+    if isinstance(obj, types.CodeType):  # nested lambdas in co_consts
+        seen.add(i)
+        h.update(obj.co_code)
+        for const in obj.co_consts:
+            _feed_static(h, const, seen)
+        return
+    if isinstance(obj, (np.ndarray, np.generic)) or hasattr(obj, "__jax_array__") or type(obj).__module__.startswith("jax"):
+        try:
+            _feed_array(h, obj)
+            return
+        except Exception:
+            pass
+    if isinstance(obj, (int, float, complex, bool, str, bytes, type(None))):
+        h.update(repr(obj).encode())
+        return
+    if isinstance(obj, (tuple, list)):
+        seen.add(i)
+        h.update(b"<seq>")
+        for v in obj:
+            _feed_static(h, v, seen)
+        return
+    if isinstance(obj, dict):
+        seen.add(i)
+        h.update(b"<map>")
+        for k in obj:
+            h.update(repr(k).encode())
+            _feed_static(h, obj[k], seen)
+        return
+    # SDF nodes captured inside closures (legacy bare-closure style): their
+    # leaves are invisible to the pytree flatten, so hash them here.
+    fn = getattr(obj, "fn", None)
+    params = getattr(obj, "params", None)
+    if callable(fn) and params is not None:
+        seen.add(i)
+        h.update(type(obj).__name__.encode())
+        _feed_static(h, fn, seen)
+        _feed_static(h, params, seen)
+        leaves = jax.tree_util.tree_leaves(obj)
+        for leaf in leaves:
+            _feed_static(h, leaf, seen)
+        return
+    # Fallback: repr with memory addresses stripped (stable across runs).
+    seen.add(i)
+    h.update(re.sub(r"0x[0-9a-f]+", "", repr(obj)).encode())
+
+
 def fingerprint(sdf, X, Y, Z, sparse):
-    """Stable hash of the run configuration: grid + expression pytree."""
+    """Stable hash of the run configuration: grid + full expression.
+
+    Covers the grid coordinates, the expression pytree (structure +
+    parameter leaves) AND all closure-captured statics of every node's
+    eval function -- a model that differs only in a static (e.g.
+    circular_array(4) vs circular_array(12)) must never hit the same
+    checkpoint entry.
+    """
     h = hashlib.sha256()
-
-    def feed(a):
-        a = np.ascontiguousarray(np.asarray(a))
-        # Shape/dtype prefix: raw byte concatenation is boundary-blind
-        # (X=[0,1,2],Y=[3,4] would collide with X=[0,1],Y=[2,3,4]).
-        h.update(repr((a.shape, a.dtype.str)).encode())
-        h.update(a.tobytes())
-
     for a in (X, Y, Z):
-        feed(a)
+        _feed_array(h, a)
     h.update(repr(sparse).encode())  # True/False/"tiles" differ (order!)
     leaves, treedef = jax.tree_util.tree_flatten(sdf)
     # repr(treedef) embeds closure memory addresses ("... at 0x7f...")
@@ -39,7 +121,34 @@ def fingerprint(sdf, X, Y, Z, sparse):
     # restarts (function qualnames remain and identify the structure).
     h.update(re.sub(r"0x[0-9a-f]+", "", repr(treedef)).encode())
     for leaf in leaves:
-        feed(leaf)
+        _feed_array(h, leaf)
+    # Statics: every eval fn in the tree, including closure captures.
+    seen = set()
+    _feed_static(h, sdf, seen)
+    return h.hexdigest()
+
+
+def structure_key(sdf, *extra):
+    """Fingerprint of an expression's *structure* (statics + treedef, no
+    leaf values).  Rebuilding the same model yields fresh fn identities,
+    so treedef identity is useless as a cache key; this hash is stable
+    across rebuilds and processes.  Used by the engine to remember which
+    expression structures failed Pallas lowering."""
+    h = hashlib.sha256()
+    _, treedef = jax.tree_util.tree_flatten(sdf)
+    h.update(re.sub(r"0x[0-9a-f]+", "", repr(treedef)).encode())
+    # Replace leaf values with (shape, dtype) skeletons: lowering success
+    # depends on the program, not on parameter values.
+    skeleton = jax.tree_util.tree_map(
+        lambda x: (
+            jax.numpy.shape(x),
+            str(getattr(x, "dtype", None) or np.asarray(x).dtype),
+        ),
+        sdf,
+    )
+    _feed_static(h, skeleton, set())
+    for e in extra:
+        h.update(repr(e).encode())
     return h.hexdigest()
 
 

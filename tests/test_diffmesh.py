@@ -76,3 +76,23 @@ def test_gradient_and_normal_api():
     )
     n = np.asarray(f.normal(p, dtype=jnp.float64))
     np.testing.assert_allclose(np.linalg.norm(n, axis=1), 1.0, atol=1e-12)
+
+
+def test_extract_overflow_is_observable():
+    # With a deliberately tiny capacity, n reports the TRUE triangle
+    # total (> capacity) instead of silently clamping, and exactly
+    # `capacity` triangles are kept.
+    import warnings
+
+    node = cast(sphere(1.0), jnp.float64)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        verts, n, valid = diffmesh.extract(
+            node, BOUNDS, 32, capacity=64, dtype=jnp.float64
+        )
+        n = int(n)
+        kept = int(np.asarray(valid).sum())
+    full_n = int(diffmesh.extract(node, BOUNDS, 32, dtype=jnp.float64)[1])
+    assert n == full_n and n > 64
+    assert kept == 64
+    assert any("capacity" in str(x.message) for x in w)

@@ -28,6 +28,7 @@ os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
 os.environ["JAX_PLATFORMS"] = "cpu"
 import jax
 jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)  # match conftest: real f64 math
 sys.path.insert(0, os.getcwd())  # Popen cwd = repo root
 from sdf_tpu import parallel
 idx, cnt = parallel.initialize(
@@ -44,6 +45,9 @@ pts_local = sdf_tpu.generate(
     dtype=jnp.float64, bounds=((-1.1,) * 3, (1.1,) * 3),
 )
 full = parallel.gather_triangles(pts_local)
+if proc_id == 0:
+    import numpy as np
+    np.save(out_path + ".npy", full)  # raw f64 soup for bit-exact compare
 parallel.write_on_process0(out_path, full)
 '''
 
@@ -75,11 +79,25 @@ def test_two_process_distributed_generate(tmp_path):
     for p, log in zip(procs, logs):
         assert p.returncode == 0, log[-2000:]
 
+    import jax
     import jax.numpy as jnp
+    from sdf_tpu.parallel import grid as pgrid
 
+    # Same 8-device partitioning as the two workers' global mesh, so the
+    # float64 math is identical and the comparison can be BIT-exact --
+    # proving the uint32-bit-pattern all-gather loses nothing.
     expect = sdf_tpu.generate(
         sdf_tpu.sphere(1), samples=2**14, verbose=False,
         dtype=jnp.float64, bounds=((-1.1,) * 3, (1.1,) * 3),
+        mesh=pgrid.make_mesh(jax.devices()),
     )
+    got = np.load(out + ".npy")
+    assert got.dtype == np.float64 and got.shape == expect.shape
+
+    def soup(points):  # canonicalize: sort triangles, NO rounding
+        tris = np.asarray(points).reshape(-1, 9)
+        return tris[np.lexsort(tris.T[::-1])]
+
+    assert np.array_equal(soup(got), soup(expect))  # bit-exact
     v, tris = stl.read_binary_stl(out)
     assert len(tris) == len(expect) // 3

@@ -223,3 +223,80 @@ def test_progress_bar_output(capsys):
     bar.done()
     out = capsys.readouterr().out
     assert "%" in out and "10" in out
+
+
+def test_checkpoint_fingerprint_covers_closure_statics():
+    # Statics captured in op closures (circular_array's count, an easing
+    # function) are invisible to the pytree; the fingerprint must still
+    # distinguish them (advisor finding: circular_array(4) vs (12) hit
+    # the same cache entry).
+    from sdf_tpu.utils import checkpoint as ckpt
+
+    X = np.arange(5.0)
+
+    def fp(f):
+        return ckpt.fingerprint(f, X, X, X, True)
+
+    base = st.capsule(-st.Z, st.Z, 0.2)
+    a = fp(base.circular_array(4))
+    b = fp(base.circular_array(12))
+    assert a != b
+    # stable across rebuilds of the same model
+    assert fp(base.circular_array(4)) == a
+
+    g = st.box(1)
+    e1 = fp(g.bend_linear(-st.Z, st.Z, st.X * 0.2, st.ease.linear))
+    e2 = fp(g.bend_linear(-st.Z, st.Z, st.X * 0.2, st.ease.in_out_quad))
+    assert e1 != e2
+
+
+def test_checkpoint_statics_regression(tmp_path):
+    # End-to-end: changing ONLY a closure-captured static must not
+    # resume from the other model's checkpoint.
+    path = str(tmp_path / "run.ckpt")
+    base = st.capsule(-st.Z, st.Z, 0.3)
+    kw = dict(samples=2**12, verbose=False, checkpoint=path,
+              bounds=((-1.5,) * 3, (1.5,) * 3))
+    a = base.circular_array(4).generate(**kw)
+    b = base.circular_array(12).generate(**kw)
+    assert len(a) != len(b) or not np.array_equal(a, b)
+
+
+def test_structure_key_stable_and_static_sensitive():
+    from sdf_tpu.utils import checkpoint as ckpt
+
+    base = st.capsule(-st.Z, st.Z, 0.2)
+    a = ckpt.structure_key(base.circular_array(4), "f32")
+    assert ckpt.structure_key(base.circular_array(4), "f32") == a
+    assert ckpt.structure_key(base.circular_array(12), "f32") != a
+    # leaf VALUES must not affect the structure key (same program)
+    assert (
+        ckpt.structure_key(st.sphere(1.0), "f32")
+        == ckpt.structure_key(st.sphere(2.0), "f32")
+    )
+
+
+def test_workers_kwarg_warns():
+    with pytest.warns(UserWarning, match="workers"):
+        st.sphere(1).generate(
+            samples=2**10, verbose=False, workers=8,
+            bounds=((-1.2,) * 3, (1.2,) * 3),
+        )
+
+
+def test_debug_triangles_marks_skipped_and_empty():
+    # debug=True appends one 12-triangle inset box per skipped/empty
+    # batch (ref sdf/core.py:49,57,166-200).
+    from sdf_tpu.core import engine
+
+    kw = dict(step=0.1, bounds=((-2.0,) * 3, (2.0,) * 3), verbose=False,
+              batch_size=8)
+    plain = st.sphere(1).generate(**kw)
+    stats = dict(engine.LAST_STATS)
+    dbg = st.sphere(1).generate(debug=True, **kw)
+    flagged = stats["skipped"] + stats["empty"]
+    assert flagged > 0
+    assert len(dbg) == len(plain) + 36 * flagged
+    # the marker boxes live strictly inside their batch extents
+    extra = dbg[len(plain):]
+    assert np.all(extra >= -2.0) and np.all(extra <= 2.0)
