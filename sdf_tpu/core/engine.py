@@ -608,46 +608,61 @@ def save(path, sdf, *args, **kwargs):
     return points
 
 
+@jax.jit
+def _slice_eval(sdf, coords):
+    # One fused SoA evaluation over the (w, 1) x (1, h) broadcast plane;
+    # no (N, 3) point array is ever materialized.
+    return jnp.broadcast_to(
+        sdf(Points(*coords)), jnp.broadcast_shapes(*[c.shape for c in coords])
+    )
+
+
 def sample_slice(sdf, w=1024, h=1024, x=None, y=None, z=None, bounds=None, dtype=None):
-    """Sample a planar slice for debugging (ref sdf/core.py:202-232)."""
+    """Sample one axis-aligned plane of the field for debugging.
+
+    Exactly one of x/y/z fixes the plane; the two free axes carry w and h
+    samples (ascending axis order).  Returns ``(a, extent, axes)`` with
+    ``a[i, j]`` the distance at (first_free[i], second_free[j]),
+    ``extent``/``axes`` ready for ``imshow`` -- the same contract as the
+    reference's slice sampler (ref sdf/core.py:202-232), evaluated here
+    as a single fused device pass instead of a cartesian-product batch.
+    """
     dtype = dtype or jnp.float32
     if bounds is None:
         bounds = _estimate_bounds(sdf, dtype)
-    (x0, y0, z0), (x1, y1, z1) = bounds
+    lo, hi = bounds
 
-    if x is not None:
-        X = np.array([x])
-        Y = np.linspace(y0, y1, w)
-        Z = np.linspace(z0, z1, h)
-        extent = (Z[0], Z[-1], Y[0], Y[-1])
-        axes = "ZY"
-    elif y is not None:
-        Y = np.array([y])
-        X = np.linspace(x0, x1, w)
-        Z = np.linspace(z0, z1, h)
-        extent = (Z[0], Z[-1], X[0], X[-1])
-        axes = "ZX"
-    elif z is not None:
-        Z = np.array([z])
-        X = np.linspace(x0, x1, w)
-        Y = np.linspace(y0, y1, h)
-        extent = (Y[0], Y[-1], X[0], X[-1])
-        axes = "YX"
-    else:
+    fixed = {0: x, 1: y, 2: z}
+    chosen = [a for a, v in fixed.items() if v is not None]
+    if len(chosen) != 1:
         raise Exception("x, y, or z position must be specified")
+    axis = chosen[0]
+    free = [a for a in range(3) if a != axis]
 
-    P = _cartesian_product(X, Y, Z)
-    return _eval_numpy(sdf, P, dtype).reshape((w, h)), extent, axes
+    spans = {
+        a: np.linspace(lo[a], hi[a], n) for a, n in zip(free, (w, h))
+    }
+    coords = [None] * 3
+    coords[axis] = jnp.asarray(fixed[axis], dtype=dtype).reshape(1, 1)
+    coords[free[0]] = jnp.asarray(spans[free[0]], dtype=dtype)[:, None]
+    coords[free[1]] = jnp.asarray(spans[free[1]], dtype=dtype)[None, :]
+
+    a = np.asarray(_slice_eval(cast(sdf, dtype), tuple(coords)), dtype=np.float64)
+    s1, s2 = spans[free[0]], spans[free[1]]
+    extent = (s2[0], s2[-1], s1[0], s1[-1])
+    axes = "XYZ"[free[1]] + "XYZ"[free[0]]
+    return a, extent, axes
 
 
 def show_slice(*args, **kwargs):
+    """Plot a slice via matplotlib (lazy import, ref sdf/core.py:234-244)."""
     import matplotlib.pyplot as plt
 
     show_abs = kwargs.pop("abs", False)
     a, extent, axes = sample_slice(*args, **kwargs)
-    if show_abs:
-        a = np.abs(a)
-    im = plt.imshow(a, extent=extent, origin="lower")
+    im = plt.imshow(
+        np.abs(a) if show_abs else a, extent=extent, origin="lower"
+    )
     plt.xlabel(axes[0])
     plt.ylabel(axes[1])
     plt.colorbar(im)

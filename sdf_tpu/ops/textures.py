@@ -29,32 +29,28 @@ def _load_image(thing):
     return Image.fromarray(np.array(thing))
 
 
+def _fit_aspect(aspect, width, height):
+    """Resolve (width, height) from an aspect ratio and at most one given
+    extent; with neither given, height defaults to 1 (ref sdf/text.py
+    measure semantics, shared by text/image/texture setup)."""
+    if width is not None and height is not None:
+        return (width, height)
+    if width is not None:
+        return (width, width / aspect)
+    height = 1 if height is None else height
+    return (height * aspect, height)
+
+
 def measure_text(name, text, width=None, height=None):
     from PIL import ImageFont
 
-    font = ImageFont.truetype(name, 96)
-    x0, y0, x1, y1 = font.getbbox(text)
-    aspect = (x1 - x0) / (y1 - y0)
-    if width is None and height is None:
-        height = 1
-    if width is None:
-        width = height * aspect
-    if height is None:
-        height = width / aspect
-    return (width, height)
+    x0, y0, x1, y1 = ImageFont.truetype(name, 96).getbbox(text)
+    return _fit_aspect((x1 - x0) / (y1 - y0), width, height)
 
 
 def measure_image(thing, width=None, height=None):
-    im = _load_image(thing)
-    w, h = im.size
-    aspect = w / h
-    if width is None and height is None:
-        height = 1
-    if width is None:
-        width = height * aspect
-    if height is None:
-        height = width / aspect
-    return (width, height)
+    w, h = _load_image(thing).size
+    return _fit_aspect(w / h, width, height)
 
 
 @d2.sdf2
@@ -109,13 +105,7 @@ def _texture_sdf(width, height, pixels, px, py, im):
     # World bounds from padded texture extent (ref sdf/text.py:93-110).
     pw = tw - px * 2
     ph = th - py * 2
-    aspect = pw / ph
-    if width is None and height is None:
-        height = 1
-    if width is None:
-        width = height * aspect
-    if height is None:
-        height = width / aspect
+    width, height = _fit_aspect(pw / ph, width, height)
     x0 = -width / 2
     y0 = -height / 2
     x1 = width / 2
@@ -144,24 +134,32 @@ def _texture_sdf(width, height, pixels, px, py, im):
 
 
 def _bilinear_interpolate(a, x, y):
-    x0 = jnp.floor(x).astype(jnp.int32)
-    x1 = x0 + 1
-    y0 = jnp.floor(y).astype(jnp.int32)
-    y1 = y0 + 1
+    """Device-side bilinear texture fetch at fractional texel (x, y).
 
-    x0 = jnp.clip(x0, 0, a.shape[1] - 1)
-    x1 = jnp.clip(x1, 0, a.shape[1] - 1)
-    y0 = jnp.clip(y0, 0, a.shape[0] - 1)
-    y1 = jnp.clip(y1, 0, a.shape[0] - 1)
+    TPU layout: the four neighbor reads go through ONE flattened texture
+    with linear indices (a single 1D gather per corner fuses better on
+    XLA:TPU than 2D advanced indexing), and the blend is two nested lerps
+    reusing the fractional weights.  Coordinates clamp to the texel grid;
+    out-of-texture points are replaced by the rectangle fallback in the
+    caller, so clamping only guards the gather.
 
-    pa = a[y0, x0]
-    pb = a[y1, x0]
-    pc = a[y0, x1]
-    pd = a[y1, x1]
+    Equivalent to the reference's four-weight formulation
+    (ref sdf/text.py:132-153): lerp(lerp(p00,p01,fx), lerp(p10,p11,fx), fy)
+    expands to exactly wa*pa + wb*pb + wc*pc + wd*pd.
+    """
+    h, w = a.shape
+    flat = a.reshape(-1)
+    cx = jnp.clip(x, 0.0, w - 1.0)
+    cy = jnp.clip(y, 0.0, h - 1.0)
+    ix = jnp.minimum(jnp.floor(cx).astype(jnp.int32), w - 2)
+    iy = jnp.minimum(jnp.floor(cy).astype(jnp.int32), h - 2)
+    fx = cx - ix
+    fy = cy - iy
 
-    wa = (x1 - x) * (y1 - y)
-    wb = (x1 - x) * (y - y0)
-    wc = (x - x0) * (y1 - y)
-    wd = (x - x0) * (y - y0)
+    def lerp(p, q, t):
+        return p + t * (q - p)
 
-    return wa * pa + wb * pb + wc * pc + wd * pd
+    base = iy * w + ix
+    top = lerp(flat[base], flat[base + 1], fx)
+    bot = lerp(flat[base + w], flat[base + w + 1], fx)
+    return lerp(top, bot, fy)

@@ -1,7 +1,15 @@
-"""Console progress bar (output parity: ref sdf/progress.py).
+"""Console progress reporting.
 
-Renders ``%  (value of max)  [###---]  elapsed  ETA`` on one line; the
-``enabled`` flag is tied to the engine's ``verbose`` option.
+Output contract (what the reference's bar renders, ref sdf/progress.py):
+one line, rewritten in place via ``\r``, of the form
+
+      42% (34 of 80) [############------------------] 0:00:12 0:00:17
+
+i.e. percent, current/total values, a 30-cell bar, elapsed time and an
+ETA extrapolated from the mean rate so far, each duration as h:mm:ss.
+The implementation here is free-standing: a stateless line formatter plus
+a minimal stateful wrapper the engine drives with absolute values.
+``enabled`` is tied to the engine's ``verbose`` flag.
 """
 
 from __future__ import annotations
@@ -9,40 +17,55 @@ from __future__ import annotations
 import sys
 import time
 
+_BAR_CELLS = 30
+
 
 def pretty_time(seconds):
-    seconds = int(round(seconds))
-    s = seconds % 60
-    m = (seconds // 60) % 60
-    h = seconds // 3600
-    return "%d:%02d:%02d" % (h, m, s)
+    t = int(round(seconds))
+    return "%d:%02d:%02d" % (t // 3600, t // 60 % 60, t % 60)
+
+
+def format_line(value, lo, hi, elapsed, width=_BAR_CELLS):
+    """Render one progress line (pure function of its inputs)."""
+    span = hi - lo
+    frac = 1.0 if span == 0 else (value - lo) / span
+    filled = int(round(frac * width))
+    eta = 0.0 if frac <= 0 else elapsed * (1.0 - frac) / frac
+    shown = "(%g of %g)" % (value, hi) if lo == 0 else "(%g)" % value
+    return " ".join(
+        [
+            "%3.0f%%" % (frac * 100.0),
+            shown,
+            "[%s%s]" % ("#" * filled, "-" * (width - filled)),
+            pretty_time(elapsed),
+            pretty_time(eta),
+        ]
+    )
 
 
 class Bar:
+    """Stateful wrapper: tracks the start time and last value.
+
+    API kept from the reference so user scripts that poke at the bar keep
+    working: ``update(value)`` / ``increment(delta)`` / ``done()`` /
+    ``stop()`` plus the ``value`` attribute.
+    """
+
     def __init__(self, max_value=100, min_value=0, enabled=True):
         self.min_value = min_value
         self.max_value = max_value
         self.value = min_value
-        self.start_time = time.time()
         self.enabled = enabled
-
-    @property
-    def percent_complete(self):
-        span = self.max_value - self.min_value
-        if span == 0:
-            return 100.0
-        return (self.value - self.min_value) / span * 100
+        self._t0 = time.monotonic()
 
     @property
     def elapsed_time(self):
-        return time.time() - self.start_time
+        return time.monotonic() - self._t0
 
-    @property
-    def eta(self):
-        t = self.percent_complete / 100
-        if t == 0:
-            return 0
-        return (1 - t) * self.elapsed_time / t
+    def render(self):
+        return format_line(
+            self.value, self.min_value, self.max_value, self.elapsed_time
+        )
 
     def increment(self, delta):
         self.update(self.value + delta)
@@ -61,23 +84,3 @@ class Bar:
         if self.enabled:
             sys.stdout.write("\n")
             sys.stdout.flush()
-
-    def render(self):
-        return " ".join(
-            [
-                "%3.0f%%" % self.percent_complete,
-                self.render_value(),
-                self.render_bar(),
-                pretty_time(self.elapsed_time),
-                pretty_time(self.eta),
-            ]
-        )
-
-    def render_value(self):
-        if self.min_value == 0:
-            return "(%g of %g)" % (self.value, self.max_value)
-        return "(%g)" % self.value
-
-    def render_bar(self, size=30):
-        a = int(round(self.percent_complete / 100.0 * size))
-        return "[" + "#" * a + "-" * (size - a) + "]"
