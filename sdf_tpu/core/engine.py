@@ -44,6 +44,11 @@ WORKERS = None
 SAMPLES = 2**22
 BATCH_SIZE = 32
 
+# Culled-tile fraction above which sparse=True automatically uses the
+# tiled evaluation path (see generate(); the reference's sparse mode
+# never evaluates culled batches, ref sdf/core.py:45-48).
+AUTO_TILES_THRESHOLD = 0.6
+
 _TARGET_CHUNK_POINTS = 2**22
 
 # Expression structures whose Pallas lowering failed (see generate()).
@@ -348,7 +353,13 @@ def generate(
     ``sparse=`` accepts the reference's True/False plus "tiles", which
     additionally restricts *evaluation* to non-culled tiles (the
     reference skips evaluating culled batches too; the dense device path
-    trades that for one fused pass).
+    trades that for one fused pass).  With ``sparse=True`` the engine
+    picks automatically: when the probe cull removes more than
+    ``AUTO_TILES_THRESHOLD`` of the batches, evaluation switches to the
+    tiled path so culled volumes are never evaluated densely (matching
+    the reference's skip semantics, ref sdf/core.py:45-48); triangle
+    *order* then follows the reference's batch-then-cell order instead
+    of the dense path's global cell order (same triangle set).
     ``debug=True`` appends an inset marker box for every skipped or empty
     batch (the reference's comment-toggled ``_debug_triangles`` debugging
     affordance, ref sdf/core.py:49,57,166-200).
@@ -441,6 +452,21 @@ def generate(
         )
     bar.update(num_batches * 0.1)
 
+    # Auto-sparsity: the reference never evaluates culled batches
+    # (ref sdf/core.py:45-48); the dense device path instead evaluates
+    # everything and masks cells -- a good trade only when little is
+    # culled.  When the probe cull removes most of the volume, route
+    # sparse=True to the tiled path, which evaluates only surviving
+    # tiles (work scales with surface area, not volume).  Opt out with
+    # sparse=False or pin the dense path with use_pallas=True.
+    if (
+        sparse is True
+        and use_pallas is not True
+        and skip.mean() >= AUTO_TILES_THRESHOLD
+    ):
+        sparse = "tiles"
+        stats["auto_tiles"] = round(float(skip.mean()), 4)
+
     if mesh is not None and mesh.devices.size > 1:
         if sparse == "tiles":
             # Active-tile-list sharding: load-balanced for sparse models.
@@ -530,20 +556,32 @@ def generate(
         cshape = (len(X) - 1, len(Y) - 1, len(Z) - 1)
         keep = _expand_tile_mask(jnp.asarray(~skip), s, cshape)
 
+        # Three cheap phases with two tiny host syncs (for the static
+        # buffer capacities): classify -> compact+stats -> emit.  All
+        # O(grid) work is compares/reduces plus the Pallas stream
+        # compaction; table lookups and stats run at active-cell size.
         with _phase("mc_count", stats):
-            total, per_tile, n_cells, case = mc.count(vol, keep, s, case)
-        n = int(total)
-        n_cells = int(n_cells)
+            if case is None:
+                case = mc._cell_cases(vol)
+            ncells_dev, active = mc.active_count(case, keep)
+        n_cells = int(ncells_dev)
         bar.update(num_batches * 0.8)
 
-        if n == 0:
+        if n_cells == 0:
             verts = np.zeros((0, 3), dtype=np.float64)
+            per_tile = np.zeros(skip.shape, dtype=np.int64)
         else:
-            capacity = 1 << (n - 1).bit_length()
-            cell_capacity = 1 << max(0, n_cells - 1).bit_length()
+            cell_capacity = mc.round_capacity(n_cells)
+            tshape = tuple(-(-c // s) for c in cshape)
+            with _phase("mc_gather", stats):
+                total, per_tile, _, cell_state = mc.gather_active(
+                    vol, case, active, cell_capacity, s, tshape
+                )
+            n = int(total)
+            capacity = mc.round_capacity(n)
             with _phase("mc_emit", stats):
-                dverts, n_tris = mc.emit(
-                    vol, keep, capacity, cell_capacity, case
+                dverts, n_tris = mc.emit_gathered(
+                    cell_state, capacity, cell_capacity
                 )
             n = int(n_tris)
             # (9, n) SoA columns -> (3n, 3) vertex rows (see mc.emit).

@@ -28,9 +28,27 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from . import compact
 from .mc_tables import CORNER_OFFSETS, EDGE_CORNERS, NTRI_TABLE, TRI_TABLE
 
 MAX_TRIS_PER_CELL = TRI_TABLE.shape[1]
+
+
+def round_capacity(n):
+    """Static buffer capacity for ``n`` items: the next power of two OR
+    1.5x a power of two (two sizes per octave).
+
+    Every distinct capacity compiles a fresh executable, so sizes must
+    quantize hard; but plain pow2 overshoots by up to 2x, and every
+    downstream per-triangle gather pays for the padding.  Two steps per
+    octave caps the waste at 33% while a model regenerated at the same
+    sample count still reuses its executable.
+    """
+    n = max(1, int(n))
+    p = 1 << (n - 1).bit_length()
+    if n <= (p // 2) + (p // 4):  # fits in 1.5 * previous power
+        return (p // 2) + (p // 4)
+    return p
 
 # Flattened (case, tri, vertex) -> cube edge lookup, -1 padded.
 _TRI_FLAT = TRI_TABLE.reshape(256, -1)  # (256, MAX_TRIS * 3)
@@ -55,6 +73,66 @@ def _cell_cases(volume, level=0.0):
         corner = volume[ox : nx - 1 + ox, oy : ny - 1 + oy, oz : nz - 1 + oz]
         case = case | (jnp.int32(1 << c) * (corner < level).astype(jnp.int32))
     return case
+
+
+@jax.jit
+def active_count(case, cell_mask):
+    """Cheap phase 1: how many cells produce triangles.
+
+    A cell is active iff its corner signs are mixed (case not 0/255) and
+    it survives the cull mask -- a compare, not a table gather (NTRI
+    lookups over the full grid cost ~10 ns/cell on TPU; this runs at
+    memory bandwidth).  Returns (n_active_cells, active_mask).
+    """
+    active = cell_mask & (case != 0) & (case != 255)
+    return jnp.sum(active.astype(jnp.int32)), active
+
+
+@partial(jax.jit, static_argnames=("cell_capacity", "tile", "tshape"))
+def gather_active(volume, case, active, cell_capacity, tile, tshape):
+    """Phase 2: compact active cells and gather their per-cell data.
+
+    All O(grid) work is the Pallas stream compaction (core.compact);
+    table lookups, triangle totals and the reference's per-tile counters
+    (ref sdf/core.py:129-145) happen at ``cell_capacity`` size via
+    segment_sum.  Returns (total_tris, per_tile, n_cells, cell_state)
+    where ``cell_state`` feeds ``emit_gathered``.
+    """
+    cshape = case.shape
+    aflat = active.reshape(-1)
+    cell_idx = compact.indices_of(aflat, cell_capacity)
+    n_cells = jnp.sum(aflat.astype(jnp.int32))
+    live = jnp.arange(cell_capacity) < n_cells
+    cell_case = case.reshape(-1)[cell_idx]
+    cell_ntri = jnp.where(live, jnp.asarray(NTRI_TABLE)[cell_case], 0)
+    total = jnp.sum(cell_ntri)
+
+    ci, cj, ck = jnp.unravel_index(cell_idx, cshape)
+    tx, ty, tz = tshape
+    nseg = tx * ty * tz
+    tid = ((ci // tile) * ty + (cj // tile)) * tz + (ck // tile)
+    per_tile = jax.ops.segment_sum(
+        cell_ntri, jnp.where(live, tid, nseg), num_segments=nseg + 1
+    )[:nseg].reshape(tshape)
+
+    nx, ny, nz = volume.shape
+    vflat = volume.reshape(-1)
+    corner = []
+    for ox, oy, oz in np.asarray(CORNER_OFFSETS):
+        lin = ((ci + ox) * ny + (cj + oy)) * nz + (ck + oz)
+        corner.append(vflat[lin])
+    base = (ci.astype(volume.dtype), cj.astype(volume.dtype),
+            ck.astype(volume.dtype))
+    return total, per_tile, n_cells, (corner, base, cell_case, cell_ntri)
+
+
+@partial(jax.jit, static_argnames=("capacity", "cell_capacity"))
+def emit_gathered(cell_state, capacity, cell_capacity):
+    """Phase 3: interpolation + slot compaction on gathered cell data."""
+    corner, base, cell_case, cell_ntri = cell_state
+    return interpolate_slots(
+        corner, base, cell_case, cell_ntri, capacity, cell_capacity
+    )
 
 
 @partial(jax.jit, static_argnames=("tile",))
@@ -117,7 +195,7 @@ def emit(volume, cell_mask, capacity, cell_capacity=None, case=None):
 
     # --- level 1: compact active cells --------------------------------
     active = (ntri > 0).reshape(-1)
-    cell_idx = jnp.flatnonzero(active, size=cell_capacity, fill_value=0)
+    cell_idx = compact.indices_of(active, cell_capacity)
     n_cells = jnp.sum(active.astype(jnp.int32))
     cell_live = jnp.arange(cell_capacity) < n_cells
 
@@ -223,7 +301,7 @@ def interpolate_slots(corner, base, cell_case, cell_ntri, capacity,
         jax.lax.broadcasted_iota(jnp.int32, (cell_capacity, MAX_TRIS_PER_CELL), 1)
         < cell_ntri[:, None]
     ).reshape(-1)
-    tri_idx = jnp.flatnonzero(slot_valid, size=capacity, fill_value=0)
+    tri_idx = compact.indices_of(slot_valid, capacity)
     n_tris = jnp.sum(slot_valid.astype(jnp.int32))
     # tri_idx is cell-major (cell*5 + slot); the staging arrays below are
     # slot-major blocks, so remap.

@@ -23,8 +23,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from . import compact
 from .mc_tables import CORNER_OFFSETS, NTRI_TABLE
-from .mc import MAX_TRIS_PER_CELL, interpolate_slots
+from .mc import MAX_TRIS_PER_CELL, interpolate_slots, round_capacity
 from .node import Points
 
 
@@ -100,7 +101,7 @@ def _emit_tiles(vols, tiles, live, case, cshape, capacity, cell_capacity, tile):
     ntri = jnp.asarray(NTRI_TABLE)[case] * valid.astype(jnp.int32)
 
     active = (ntri > 0).reshape(-1)
-    cell_idx = jnp.flatnonzero(active, size=cell_capacity, fill_value=0)
+    cell_idx = compact.indices_of(active, cell_capacity)
     n_cells = jnp.sum(active.astype(jnp.int32))
     cell_live = jnp.arange(cell_capacity) < n_cells
 
@@ -146,7 +147,7 @@ def mesh_sparse_tiles(sdf_c, X, Y, Z, skip, tile, dtype, chunk_tiles=128):
         return np.zeros((0, 3), dtype=np.float64), np.zeros(
             skip.shape, dtype=np.int64
         )
-    ntc = 1 << max(0, nt - 1).bit_length()
+    ntc = round_capacity(nt)
     tiles = np.zeros((ntc, 3), dtype=np.int32)
     tiles[:nt] = active
     live = np.zeros((ntc,), dtype=bool)
@@ -171,8 +172,8 @@ def mesh_sparse_tiles(sdf_c, X, Y, Z, skip, tile, dtype, chunk_tiles=128):
     if n == 0:
         return np.zeros((0, 3), dtype=np.float64), pt
 
-    capacity = 1 << (n - 1).bit_length()
-    cell_capacity = 1 << max(0, int(ncell) - 1).bit_length()
+    capacity = round_capacity(n)
+    cell_capacity = round_capacity(int(ncell))
     verts9, n_tris = _emit_tiles(
         vols, tiles_d, live_d, case, cshape, capacity, cell_capacity, tile
     )

@@ -93,6 +93,69 @@ def make_sharded_fit_step(mesh, axis_name=AXIS):
     return step
 
 
+def make_chamfer_loss(bounds, resolution=24, capacity=None,
+                      dtype=jnp.float32, mesh=None):
+    """Symmetric chamfer distance between a target point cloud and the
+    EXTRACTED surface (not an SDF oracle): gradients flow through
+    marching cubes (core.diffmesh) into the shape parameters, so this
+    fits CSG models directly to scans.  With ``mesh=`` the extraction
+    itself is sharded (diffmesh.extract_sharded)."""
+    from ..core import diffmesh
+
+    if capacity is None:
+        # Roomier than extract's default: a truncated surface during
+        # fitting silently corrupts gradients (diffmesh warns on
+        # overflow, but the optimizer would still wander).
+        r = resolution if np.isscalar(resolution) else max(resolution)
+        capacity = 8 * r * r
+
+    def loss(node, targets):
+        if mesh is None:
+            verts, _, valid = diffmesh.extract(
+                node, bounds, resolution, capacity, dtype
+            )
+        else:
+            verts, _, valid = diffmesh.extract_sharded(
+                node, bounds, resolution, capacity, dtype, mesh=mesh
+            )
+        v = verts.reshape(-1, 3)
+        vmask = jnp.repeat(valid, 3)
+        eps = jnp.asarray(1e-12, v.dtype)
+        d2 = jnp.sum((targets[:, None, :] - v[None, :, :]) ** 2, axis=-1)
+        d2 = jnp.where(vmask[None, :], d2, jnp.asarray(1e9, v.dtype))
+        cloud_to_mesh = jnp.mean(jnp.sqrt(jnp.min(d2, axis=1) + eps))
+        dv = jnp.sqrt(jnp.min(d2, axis=0) + eps)
+        mesh_to_cloud = jnp.sum(jnp.where(vmask, dv, 0)) / jnp.maximum(
+            jnp.sum(vmask), 1
+        )
+        return cloud_to_mesh + mesh_to_cloud
+
+    return loss
+
+
+def fit_chamfer(builder, target_points, bounds, steps=60, lr=5e-2,
+                resolution=24, capacity=None, dtype=jnp.float32, mesh=None,
+                verbose=False):
+    """Fit an SDF expression to a target POINT CLOUD by chamfer distance
+    on the extracted surface.  Returns (fitted_node, final_loss)."""
+    node = cast(builder, dtype)
+    t = jnp.asarray(np.asarray(target_points), dtype=dtype)
+    lr = jnp.asarray(lr, dtype=dtype)
+    loss_fn = make_chamfer_loss(bounds, resolution, capacity, dtype, mesh)
+
+    @jax.jit
+    def step(node, t, lr):
+        l, g = jax.value_and_grad(loss_fn)(node, t)
+        return _sgd(node, g, lr), l
+
+    loss = None
+    for i in range(steps):
+        node, loss = step(node, t, lr)
+        if verbose and (i % max(1, steps // 10) == 0):
+            print(f"step {i}: chamfer {float(loss):.3e}")
+    return node, float(loss)
+
+
 def fit(builder, target_sdf, points, steps=100, lr=1e-2, dtype=jnp.float32,
         mesh=None, verbose=False):
     """Fit a parametric model to a target SDF on fixed sample points.

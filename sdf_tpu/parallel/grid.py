@@ -231,8 +231,8 @@ def mesh_and_march(sdf_c, X, Y, Z, skip, tile, mesh, dtype,
     if nmax == 0:
         return np.zeros((0, 3), dtype=np.float64), np.asarray(per_tile)
 
-    capacity = 1 << (nmax - 1).bit_length()
-    cell_capacity = 1 << max(0, int(gmax_c) - 1).bit_length()
+    capacity = mc.round_capacity(nmax)
+    cell_capacity = mc.round_capacity(int(gmax_c))
     verts, counts = _phase_emit(
         vol, case, keep_d, mesh, c, ncz, tile, capacity, cell_capacity
     )

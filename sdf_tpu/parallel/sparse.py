@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import PartitionSpec as P
 
+from ..core import mc
 from ..core import sparse as core_sparse
 
 AXIS = "grid"
@@ -99,7 +100,7 @@ def mesh_sparse_tiles_sharded(sdf_c, X, Y, Z, skip, tile, mesh, dtype,
     # Pad to a power-of-two per-device tile count: tpd is a static shape,
     # so pow2 rounding keeps executable reuse as the active-tile count
     # drifts between runs.
-    tpd = 1 << max(0, -(-nt // ndev) - 1).bit_length()
+    tpd = mc.round_capacity(-(-nt // ndev))
     ntc = tpd * ndev
     tiles = np.zeros((ntc, 3), dtype=np.int32)
     tiles[:nt] = active
@@ -131,8 +132,8 @@ def mesh_sparse_tiles_sharded(sdf_c, X, Y, Z, skip, tile, mesh, dtype,
     if nmax == 0:
         return np.zeros((0, 3), dtype=np.float64), pt
 
-    capacity = 1 << (nmax - 1).bit_length()
-    cell_capacity = 1 << max(0, int(gmax_c) - 1).bit_length()
+    capacity = mc.round_capacity(nmax)
+    cell_capacity = mc.round_capacity(int(gmax_c))
     verts, counts = _phase_emit(
         vols, case, tiles_d, live_d, mesh, cshape, tile, capacity,
         cell_capacity,

@@ -96,3 +96,86 @@ def test_extract_overflow_is_observable():
     assert n == full_n and n > 64
     assert kept == 64
     assert any("capacity" in str(x.message) for x in w)
+
+
+def test_extract_sharded_matches_single_device():
+    # 8-virtual-device sharded extraction: same triangle SET as the
+    # single-device path (order differs: per-slab vs global cell order).
+    import jax
+    from sdf_tpu.parallel import grid as pgrid
+
+    node = cast(sphere(1.0), jnp.float64)
+    v1, n1, ok1 = diffmesh.extract(node, BOUNDS, 33, dtype=jnp.float64)
+    mesh = pgrid.make_mesh()
+    v8, n8, ok8 = diffmesh.extract_sharded(
+        node, BOUNDS, 33, dtype=jnp.float64, mesh=mesh
+    )
+    assert int(n1) == int(n8)
+    # round before sorting: slab-local+shift vs global base addition
+    # reassociates, so vertices can differ in the last ulp, which would
+    # destabilize an exact sort
+    a = np.asarray(v1)[np.asarray(ok1)].reshape(-1, 9).round(5)
+    b = np.asarray(v8)[np.asarray(ok8)].reshape(-1, 9).round(5)
+    assert a.shape == b.shape
+    a = a[np.lexsort(a.T[::-1])]
+    b = b[np.lexsort(b.T[::-1])]
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_extract_sharded_grad_flows():
+    import jax
+    from sdf_tpu.parallel import grid as pgrid
+
+    mesh = pgrid.make_mesh()
+
+    def radius_probe(node):
+        verts, n, valid = diffmesh.extract_sharded(
+            node, BOUNDS, 24, dtype=jnp.float64, mesh=mesh
+        )
+        w = valid.astype(verts.dtype)[:, None, None]
+        r = jnp.sqrt(jnp.sum(verts**2, axis=-1) + 1e-12)
+        return jnp.sum(r * w[..., 0]) / jnp.maximum(3.0 * jnp.sum(valid), 1)
+
+    node = cast(sphere(1.0), jnp.float64)
+    g = jax.grad(radius_probe)(node)
+    leaves = [np.asarray(x) for x in jax.tree_util.tree_leaves(g)]
+    # d(mean radius)/d(sphere radius) ~ 1
+    assert any(abs(l - 1.0).max() < 0.05 for l in leaves if l.size == 1)
+
+
+def test_fit_chamfer_recovers_radius():
+    # Fit a sphere's radius to a point cloud sampled on radius 1.2,
+    # purely through the extracted mesh (no SDF oracle).
+    from sdf_tpu.models import fit as fitmod
+
+    rng = np.random.RandomState(11)
+    d = rng.normal(size=(384, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    cloud = 1.2 * d
+    node, loss = fitmod.fit_chamfer(
+        sphere(1.0), cloud, BOUNDS, steps=80, lr=0.05,
+        resolution=20, dtype=jnp.float64,
+    )
+    leaves = [np.asarray(l) for l in jax.tree_util.tree_leaves(node)]
+    r = float([l for l in leaves if l.size == 1][0].ravel()[0])
+    # vertex-to-point chamfer on a res-20 mesh (grid step ~0.17) has a
+    # discretization floor; the optimum sits within ~half a step of 1.2
+    assert abs(r - 1.2) < 0.1, (r, loss)
+    assert loss < 0.25
+
+
+def test_fit_chamfer_sharded():
+    from sdf_tpu.models import fit as fitmod
+    from sdf_tpu.parallel import grid as pgrid
+
+    rng = np.random.RandomState(12)
+    d = rng.normal(size=(256, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    cloud = 1.15 * d
+    node, loss = fitmod.fit_chamfer(
+        sphere(1.0), cloud, BOUNDS, steps=25, lr=0.1,
+        resolution=17, dtype=jnp.float64, mesh=pgrid.make_mesh(),
+    )
+    leaves = [np.asarray(l) for l in jax.tree_util.tree_leaves(node)]
+    r = float([l for l in leaves if l.size == 1][0].ravel()[0])
+    assert abs(r - 1.15) < 0.07, (r, loss)

@@ -145,3 +145,20 @@ def test_all_cases_reachable_and_consistent():
                 vol[ox, oy, oz] = -1.0
         tris = _triangulate_volume(vol, tile=1)
         assert len(tris) == int(mc_tables.NTRI_TABLE[case])
+
+
+def test_compact_kernel_matches_flatnonzero():
+    """The Pallas stream compaction (interpret mode on CPU) must be
+    bit-identical to jnp.flatnonzero across densities and capacities."""
+    import jax.numpy as jnp
+    from sdf_tpu.core import compact
+
+    rng = np.random.RandomState(3)
+    for n, frac in ((700, 0.2), (8192, 0.5), (40000, 0.02), (9000, 0.0)):
+        m = jnp.asarray(rng.rand(n) < frac)
+        na = int(m.sum())
+        cap = max(1, 1 << max(0, na - 1).bit_length()) + 256
+        idx, tot = compact.indices_of_pallas(m, cap, interpret=True)
+        ref = jnp.flatnonzero(m, size=cap, fill_value=0)
+        assert int(tot) == na
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref))

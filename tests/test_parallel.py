@@ -151,3 +151,26 @@ def test_sparse_tiles_sharded_nondivisible_and_empty():
         sparse="tiles", mesh=pgrid.make_mesh(),
     )
     assert empty.shape == (0, 3)
+
+
+def test_auto_sparsity_routes_to_tiles():
+    """sparse=True must not densely evaluate heavily-culled volumes: a
+    small model in a huge bounding box routes to the tiled path
+    automatically (reference skip semantics, ref sdf/core.py:45-48)."""
+    from sdf_tpu.core import engine
+
+    f = sdf_tpu.sphere(1)
+    bounds = ((-6.0,) * 3, (6.0,) * 3)
+    kwargs = dict(step=0.12, bounds=bounds, verbose=False, dtype=jnp.float64)
+    mesh1 = pgrid.make_mesh(jax.devices()[:1])
+    auto = sdf_tpu.generate(f, sparse=True, mesh=mesh1, **kwargs)
+    stats = dict(engine.LAST_STATS)
+    assert "auto_tiles" in stats and stats["auto_tiles"] >= 0.6
+    assert "sparse_tiles" in stats  # tiled phase actually ran
+    dense = sdf_tpu.generate(f, sparse=False, mesh=mesh1, **kwargs)
+    np.testing.assert_allclose(
+        _tri_set(auto), _tri_set(dense), atol=1e-12
+    )
+    # explicit opt-outs keep the dense path
+    sdf_tpu.generate(f, sparse=False, mesh=mesh1, **kwargs)
+    assert "auto_tiles" not in engine.LAST_STATS
