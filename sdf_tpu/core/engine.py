@@ -377,10 +377,6 @@ def generate(
             stacklevel=2,
         )
 
-    if sparse == "tiles" and use_pallas is True:
-        raise ValueError(
-            "use_pallas=True is not supported with sparse='tiles' yet"
-        )
     if mesh is None and len(jax.devices()) > 1:
         from ..parallel import grid as pgrid
 
@@ -458,12 +454,8 @@ def generate(
     # culled.  When the probe cull removes most of the volume, route
     # sparse=True to the tiled path, which evaluates only surviving
     # tiles (work scales with surface area, not volume).  Opt out with
-    # sparse=False or pin the dense path with use_pallas=True.
-    if (
-        sparse is True
-        and use_pallas is not True
-        and skip.mean() >= AUTO_TILES_THRESHOLD
-    ):
+    # sparse=False (dense) or pass sparse="tiles" to force tiles.
+    if sparse is True and skip.mean() >= AUTO_TILES_THRESHOLD:
         sparse = "tiles"
         stats["auto_tiles"] = round(float(skip.mean()), 4)
 
@@ -511,13 +503,40 @@ def generate(
     elif sparse == "tiles":
         # Tiled sparse pipeline: evaluate only the tiles the probe cull
         # kept (SURVEY.md section 7 step 4); work scales with surface
-        # area instead of grid volume.
+        # area instead of grid volume.  With use_pallas=True the per-tile
+        # evaluation + classification fuse into one Pallas kernel
+        # (pallas_eval.eval_tiles_and_classify).  Unlike the dense path,
+        # Pallas is NOT the TPU default here: measured on v5e at 2^22 the
+        # fused tile kernel is slower than XLA's chunked tile eval
+        # (1053 ms vs 680 ms e2e) -- per-tile (tile+1)^3 volumes are too
+        # small to tile well onto the VPU, while XLA batches 128 tiles
+        # per dispatch.  It stays available for expressions where fusion
+        # wins (deep CSG trees bound on HBM traffic).
         from . import sparse as sparse_mod
 
+        backend = jax.default_backend()
+        want_pallas = use_pallas is True
+        key = _pallas_key(sdf_c, dtype, ("tiles", len(X), len(Y)))
         with _phase("sparse_tiles", stats):
-            verts, per_tile = sparse_mod.mesh_sparse_tiles(
-                sdf_c, X, Y, Z, skip, s, dtype
-            )
+            if want_pallas and (use_pallas is True or key not in _PALLAS_BROKEN):
+                try:
+                    verts, per_tile = sparse_mod.mesh_sparse_tiles(
+                        sdf_c, X, Y, Z, skip, s, dtype,
+                        use_pallas=True, interpret=(backend != "tpu"),
+                    )
+                except Exception:
+                    if use_pallas is True:
+                        raise
+                    if len(_PALLAS_BROKEN) > 256:
+                        _PALLAS_BROKEN.clear()
+                    _PALLAS_BROKEN.add(key)
+                    verts, per_tile = sparse_mod.mesh_sparse_tiles(
+                        sdf_c, X, Y, Z, skip, s, dtype
+                    )
+            else:
+                verts, per_tile = sparse_mod.mesh_sparse_tiles(
+                    sdf_c, X, Y, Z, skip, s, dtype
+                )
         bar.update(num_batches * 0.8)
     else:
         backend = jax.default_backend()

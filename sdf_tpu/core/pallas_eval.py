@@ -116,6 +116,91 @@ _call = partial(jax.jit, static_argnames=(
     "fn", "treedef", "scalar", "nz", "bz", "interpret"))(_pallas_invoke)
 
 
+def _tile_kernel(x_ref, y_ref, z_ref, t_ref, *rest, fn, treedef, scalar,
+                 tile):
+    """Fused eval + classify for ONE active tile (sparse='tiles' path).
+
+    Coordinates for the tile's (tile+1)^3 sample cube are assembled from
+    scalar SMEM reads at the tile's dynamic offsets (same iota-select
+    trick as the dense kernel's z column; Mosaic cannot reshape 1D
+    vectors to 3D).  Outputs the tile volume and its tile^3 case codes.
+    """
+    param_refs = rest[:-2]
+    vol_ref, case_ref = rest[-2:]
+    TS = tile + 1
+    t = pl.program_id(0)
+    tx = t_ref[t, 0] * tile
+    ty = t_ref[t, 1] * tile
+    tz = t_ref[t, 2] * tile
+
+    def axis_coords(ref, base, shape, dim):
+        idx = jax.lax.broadcasted_iota(jnp.int32, shape, dim)
+        return sum(
+            jnp.where(idx == k, ref[0, base + k], 0.0) for k in range(TS)
+        )
+
+    x = axis_coords(x_ref, tx, (TS, 1, 1), 0)
+    y = axis_coords(y_ref, ty, (1, TS, 1), 1)
+    z = axis_coords(z_ref, tz, (1, 1, TS), 2)
+
+    leaves = [
+        r[...][0] if is_scalar else r[...]
+        for r, is_scalar in zip(param_refs, scalar)
+    ]
+    params = jax.tree_util.tree_unflatten(treedef, leaves)
+    d = jnp.broadcast_to(fn(params, Points(x, y, z)), (TS, TS, TS))
+    vol_ref[0] = d
+
+    inside = d < 0
+    case = jnp.zeros((tile, tile, tile), dtype=jnp.int32)
+    for b, (ox, oy, oz) in enumerate(np.asarray(CORNER_OFFSETS)):
+        corner = inside[ox : tile + ox, oy : tile + oy, oz : tile + oz]
+        case = case | (corner.astype(jnp.int32) << b)
+    case_ref[0] = case
+
+
+def eval_tiles_and_classify(sdf_c, X, Y, Z, tiles, ntc, tile,
+                            interpret=False):
+    """Fused per-tile eval + classify over the active-tile list.
+
+    X/Y/Z: (padded) device axis coordinate vectors; tiles: (ntc, 3) int32
+    tile indices (clamped so tile*t + tile stays in range -- the caller
+    pads the coordinate vectors by one tile, see core.sparse).  Returns
+    (vols (ntc, TS, TS, TS), case (ntc, tile, tile, tile)).
+    """
+    TS = tile + 1
+    leaves, prep = _prep_tree(sdf_c, X.dtype)
+    kern = partial(_tile_kernel, tile=tile, **prep)
+    smem = lambda a: pl.BlockSpec(
+        a.shape, lambda i: (0,) * a.ndim, memory_space=pltpu.SMEM
+    )
+    full = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim)
+    return pl.pallas_call(
+        kern,
+        grid=(ntc,),
+        in_specs=[smem(X[None, :]), smem(Y[None, :]), smem(Z[None, :]),
+                  smem(tiles)] + [full(l) for l in leaves],
+        out_specs=(
+            pl.BlockSpec((1, TS, TS, TS), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, tile, tile, tile), lambda i: (i, 0, 0, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((ntc, TS, TS, TS), X.dtype),
+            jax.ShapeDtypeStruct((ntc, tile, tile, tile), jnp.int32),
+        ),
+        interpret=interpret,
+    )(X[None, :], Y[None, :], Z[None, :], tiles, *leaves)
+
+
+def _prep_tree(sdf_c, dtype):
+    """Flatten an expression for kernel use: leaves + static kernel kwargs."""
+    leaves, treedef = jax.tree_util.tree_flatten(sdf_c)
+    leaves = [jnp.asarray(l, dtype=dtype) for l in leaves]
+    scalar = tuple(l.ndim == 0 for l in leaves)
+    leaves = [l.reshape(1) if l.ndim == 0 else l for l in leaves]
+    return tuple(leaves), dict(fn=_eval_root, treedef=treedef, scalar=scalar)
+
+
 def _pick_bz(nx, ny, dtype):
     """Largest z block keeping a (bz+1, nx, ny) slab within ~8 MB VMEM."""
     slab_bytes = nx * ny * np.dtype(dtype).itemsize

@@ -76,8 +76,9 @@ def _cell_valid(tiles, live, cshape, tile):
 
 
 @partial(jax.jit, static_argnames=("cshape", "tile"))
-def _count_tiles(vols, tiles, live, cshape, tile):
-    case = _tile_cases(vols, tile)
+def _count_tiles(vols, tiles, live, cshape, tile, case=None):
+    if case is None:
+        case = _tile_cases(vols, tile)
     valid = _cell_valid(tiles, live, cshape, tile)
     ntri = jnp.asarray(NTRI_TABLE)[case] * valid.astype(jnp.int32)
     per_tile = ntri.sum(axis=(1, 2, 3))
@@ -129,13 +130,26 @@ def _emit_tiles(vols, tiles, live, case, cshape, capacity, cell_capacity, tile):
     )
 
 
-def mesh_sparse_tiles(sdf_c, X, Y, Z, skip, tile, dtype, chunk_tiles=128):
+@partial(jax.jit, static_argnames=("ntc", "tile", "interpret"))
+def _eval_tiles_pallas(sdf, Xp, Yp, Zp, tiles, ntc, tile, interpret):
+    """Fused Pallas per-tile eval + classify (see pallas_eval)."""
+    from . import pallas_eval
+
+    return pallas_eval.eval_tiles_and_classify(
+        sdf, Xp, Yp, Zp, tiles, ntc, tile, interpret=interpret
+    )
+
+
+def mesh_sparse_tiles(sdf_c, X, Y, Z, skip, tile, dtype, chunk_tiles=128,
+                      use_pallas=False, interpret=False):
     """Tiled sparse pipeline: eval + marching cubes on active tiles only.
 
     Returns (verts (3T, 3) float64 in fractional index coords,
     per_tile_counts (tx, ty, tz)).  ``skip`` is the probe-cull mask from
     the engine (True = culled) at ``tile`` (= engine batch_size) cells
-    per tile per axis.
+    per tile per axis.  ``use_pallas=True`` fuses per-tile evaluation and
+    cell classification into one Pallas kernel (raises if the expression
+    does not lower; the engine handles fallback).
     """
     nx, ny, nz = len(X), len(Y), len(Z)
     cshape = (nx - 1, ny - 1, nz - 1)
@@ -159,10 +173,27 @@ def mesh_sparse_tiles(sdf_c, X, Y, Z, skip, tile, dtype, chunk_tiles=128):
     tiles_d = jnp.asarray(tiles)
     live_d = jnp.asarray(live)
 
-    vols = _eval_tiles(sdf_c, Xd, Yd, Zd, tiles_d, ntc, chunk_tiles, tile)
-    total, per_tile, ncell, case = _count_tiles(
-        vols, tiles_d, live_d, cshape, tile
-    )
+    if use_pallas:
+        # Edge tiles read one tile past the end: pad each axis with its
+        # last coordinate (the same samples _eval_tiles's index clamping
+        # produces; the repeated-sample cells are masked downstream).
+        def padf(A):
+            return jnp.concatenate(
+                [A, jnp.full((tile,), A[-1], dtype=A.dtype)]
+            )
+
+        vols, case = _eval_tiles_pallas(
+            sdf_c, padf(Xd), padf(Yd), padf(Zd), tiles_d, ntc, tile,
+            interpret,
+        )
+        total, per_tile, ncell, case = _count_tiles(
+            vols, tiles_d, live_d, cshape, tile, case
+        )
+    else:
+        vols = _eval_tiles(sdf_c, Xd, Yd, Zd, tiles_d, ntc, chunk_tiles, tile)
+        total, per_tile, ncell, case = _count_tiles(
+            vols, tiles_d, live_d, cshape, tile
+        )
     n = int(total)
 
     pt = np.zeros(skip.shape, dtype=np.int64)

@@ -106,3 +106,27 @@ def test_sharded_pallas_matches_sharded_xla():
     )
     np.testing.assert_allclose(a, b, rtol=1e-12, atol=1e-12)
     np.testing.assert_array_equal(np.asarray(pta), np.asarray(ptb))
+
+
+def test_fused_tile_kernel_matches_xla_tiles():
+    """sparse='tiles' with the fused per-tile Pallas kernel (interpret
+    mode on CPU) matches the XLA tiles path.  1-ulp eval differences
+    between the two compiled programs are expected (fma contraction);
+    canonicalize + tolerance like the sharded-path tests."""
+    import numpy as np
+    import jax.numpy as jnp
+    import sdf_tpu as st
+
+    f = st.sphere(1) & st.box(1.5)
+    c = st.cylinder(0.5)
+    f -= c.orient(st.X) | c.orient(st.Y) | c.orient(st.Z)
+    kw = dict(samples=2**14, verbose=False, dtype=jnp.float64,
+              bounds=((-1.05,) * 3, (1.05,) * 3), batch_size=8)
+    a = f.generate(sparse="tiles", use_pallas=False, **kw)
+    b = f.generate(sparse="tiles", use_pallas=True, **kw)
+    assert len(a) == len(b)
+    ta = np.asarray(a).reshape(-1, 9).round(6)
+    tb = np.asarray(b).reshape(-1, 9).round(6)
+    ta = ta[np.lexsort(ta.T[::-1])]
+    tb = tb[np.lexsort(tb.T[::-1])]
+    np.testing.assert_allclose(ta, tb, atol=1e-5)
