@@ -135,3 +135,9 @@ TEXT = " wrap_around " * 3
 w, h = measure_text(FONT, TEXT)
 f = text(FONT, TEXT).extrude(0.1).orient(Y).wrap_around(-w / 2, w / 2)
 generate(f, "wrap_around")
+
+# hero (the reference README's gearlike walkthrough model)
+f = sphere(2) & slab(z0=-0.5, z1=0.5).k(0.1)
+f -= cylinder(1).k(0.1)
+f -= cylinder(0.25).circular_array(16, 2).k(0.1)
+generate(f, "gearlike_hero")

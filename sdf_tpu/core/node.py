@@ -379,6 +379,10 @@ def _wrap_legacy(f, dim):
             state["tier"] = 2
         return finish(_tier3(arr, shape))
 
+    # Legacy closures may resolve to the pure_callback tier, which can
+    # never trace into a Pallas kernel; route them through the hybrid
+    # XLA pre-pass unconditionally (core/hybrid.py).
+    fn.pallas_needs_gather = True
     return fn
 
 

@@ -18,9 +18,13 @@ TPU layout notes (see /opt/skills/guides/pallas_guide.md):
     Mosaic fuses it into vector loops, so deep CSG trees do not
     materialize per-op VMEM temporaries.
 
-Expressions whose evaluation needs gathers (texture/mesh SDFs) are not
-Mosaic-vectorizable; ``eval_and_classify`` raises and callers fall back
-to the XLA path.
+Expressions whose evaluation needs gathers (texture/mesh SDFs, polygon,
+legacy closures) are not Mosaic-vectorizable by themselves; those
+subtrees are pre-evaluated by XLA at their true transformed query points
+and fed to the kernel as blocked inputs, so the closed-form majority of
+the tree still evaluates fused in VMEM (see core/hybrid.py).  Only if
+that split itself fails (gather under a lax-loop ancestor) do callers
+fall back to the XLA path.
 """
 
 from __future__ import annotations
@@ -33,6 +37,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from . import hybrid
 from .node import Points
 
 # Corner bit b of a cell is set iff sample at offset CORNER_OFFSETS[b] is
@@ -45,8 +50,10 @@ def _eval_root(root, p):
     return root(p)
 
 
-def _kernel(x_ref, y_ref, z_ref, *rest, fn, treedef, scalar, bz, nx, ny):
-    param_refs = rest[:-2]
+def _kernel(x_ref, y_ref, z_ref, *rest, fn, treedef, scalar, bz, nx, ny,
+            nvols=0):
+    param_refs = rest[: len(rest) - 2 - nvols]
+    gather_refs = rest[len(rest) - 2 - nvols : len(rest) - 2]
     vol_ref, case_ref = rest[-2:]
 
     # The full padded z-coordinate vector lives in SMEM (scalar memory
@@ -71,7 +78,8 @@ def _kernel(x_ref, y_ref, z_ref, *rest, fn, treedef, scalar, bz, nx, ny):
     params = jax.tree_util.tree_unflatten(treedef, leaves)
     # SoA broadcast evaluation, (z, x, y) axis order for lane-friendliness.
     p = Points(x[None, :, None], y[None, None, :], z)
-    d = jnp.broadcast_to(fn(params, p), (bz + 1, nx, ny))
+    with hybrid.kernel_vols([r[...][0] for r in gather_refs]):
+        d = jnp.broadcast_to(fn(params, p), (bz + 1, nx, ny))
 
     vol_ref[...] = d[:bz]
 
@@ -83,19 +91,29 @@ def _kernel(x_ref, y_ref, z_ref, *rest, fn, treedef, scalar, bz, nx, ny):
     case_ref[...] = case
 
 
-def _pallas_invoke(leaves, X, Y, Zw, fn, treedef, scalar, nz, bz, interpret):
-    """Raw pallas_call invocation; traced-input safe (usable in shard_map)."""
+def _pallas_invoke(leaves, X, Y, Zw, fn, treedef, scalar, nz, bz, interpret,
+                   wins=()):
+    """Raw pallas_call invocation; traced-input safe (usable in shard_map).
+
+    ``wins``: per-block pre-computed gather fields, each
+    (nchunks, bz+1, nx, ny) (see core/hybrid.py); block i of each is
+    handed to the kernel alongside the parameter leaves.
+    """
     nx, ny = X.shape[0], Y.shape[0]
     nchunks = (Zw.shape[1] - 1) // bz
     kern = partial(
-        _kernel, fn=fn, treedef=treedef, scalar=scalar, bz=bz, nx=nx, ny=ny
+        _kernel, fn=fn, treedef=treedef, scalar=scalar, bz=bz, nx=nx, ny=ny,
+        nvols=len(wins),
     )
     full = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim)
     zspec = pl.BlockSpec(Zw.shape, lambda i: (0, 0), memory_space=pltpu.SMEM)
+    wspec = pl.BlockSpec((1, bz + 1, nx, ny), lambda i: (i, 0, 0, 0))
     vol_t, case_t = pl.pallas_call(
         kern,
         grid=(nchunks,),
-        in_specs=[full(X), full(Y), zspec] + [full(l) for l in leaves],
+        in_specs=[full(X), full(Y), zspec]
+        + [full(l) for l in leaves]
+        + [wspec for _ in wins],
         out_specs=(
             pl.BlockSpec((bz, nx, ny), lambda i: (i, 0, 0)),
             pl.BlockSpec((bz, nx - 1, ny - 1), lambda i: (i, 0, 0)),
@@ -105,19 +123,15 @@ def _pallas_invoke(leaves, X, Y, Zw, fn, treedef, scalar, nz, bz, interpret):
             jax.ShapeDtypeStruct((nchunks * bz, nx - 1, ny - 1), jnp.int32),
         ),
         interpret=interpret,
-    )(X, Y, Zw, *leaves)
+    )(X, Y, Zw, *leaves, *wins)
     # (z, x, y) -> (x, y, z); trim z padding.
     vol = jnp.moveaxis(vol_t, 0, 2)[:, :, :nz]
     case = jnp.moveaxis(case_t, 0, 2)[:, :, : nz - 1]
     return vol, case
 
 
-_call = partial(jax.jit, static_argnames=(
-    "fn", "treedef", "scalar", "nz", "bz", "interpret"))(_pallas_invoke)
-
-
 def _tile_kernel(x_ref, y_ref, z_ref, t_ref, *rest, fn, treedef, scalar,
-                 tile):
+                 tile, nvols=0):
     """Fused eval + classify for ONE active tile (sparse='tiles' path).
 
     Coordinates for the tile's (tile+1)^3 sample cube are assembled from
@@ -125,7 +139,8 @@ def _tile_kernel(x_ref, y_ref, z_ref, t_ref, *rest, fn, treedef, scalar,
     trick as the dense kernel's z column; Mosaic cannot reshape 1D
     vectors to 3D).  Outputs the tile volume and its tile^3 case codes.
     """
-    param_refs = rest[:-2]
+    param_refs = rest[: len(rest) - 2 - nvols]
+    gather_refs = rest[len(rest) - 2 - nvols : len(rest) - 2]
     vol_ref, case_ref = rest[-2:]
     TS = tile + 1
     t = pl.program_id(0)
@@ -148,7 +163,8 @@ def _tile_kernel(x_ref, y_ref, z_ref, t_ref, *rest, fn, treedef, scalar,
         for r, is_scalar in zip(param_refs, scalar)
     ]
     params = jax.tree_util.tree_unflatten(treedef, leaves)
-    d = jnp.broadcast_to(fn(params, Points(x, y, z)), (TS, TS, TS))
+    with hybrid.kernel_vols([r[...][0] for r in gather_refs]):
+        d = jnp.broadcast_to(fn(params, Points(x, y, z)), (TS, TS, TS))
     vol_ref[0] = d
 
     inside = d < 0
@@ -169,17 +185,34 @@ def eval_tiles_and_classify(sdf_c, X, Y, Z, tiles, ntc, tile,
     (vols (ntc, TS, TS, TS), case (ntc, tile, tile, tile)).
     """
     TS = tile + 1
-    leaves, prep = _prep_tree(sdf_c, X.dtype)
-    kern = partial(_tile_kernel, tile=tile, **prep)
+    ngather = hybrid.count_gathers(sdf_c)
+    wins = ()
+    tree = sdf_c
+    if ngather:
+        # XLA pre-pass over per-tile coordinate windows only, so the
+        # gather work still scales with the active-tile count.
+        off = jnp.arange(TS)
+        Xw = X[tiles[:, 0] * tile + off[None, :]]
+        Yw = Y[tiles[:, 1] * tile + off[None, :]]
+        Zw = Z[tiles[:, 2] * tile + off[None, :]]
+        wins = hybrid.record_tile_windows(
+            hybrid.to_recording_tree(sdf_c), Xw, Yw, Zw
+        )
+        tree = hybrid.to_pallas_tree(sdf_c)
+    leaves, prep = _prep_tree(tree, X.dtype)
+    kern = partial(_tile_kernel, tile=tile, nvols=ngather, **prep)
     smem = lambda a: pl.BlockSpec(
         a.shape, lambda i: (0,) * a.ndim, memory_space=pltpu.SMEM
     )
     full = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim)
+    wspec = pl.BlockSpec((1, TS, TS, TS), lambda i: (i, 0, 0, 0))
     return pl.pallas_call(
         kern,
         grid=(ntc,),
         in_specs=[smem(X[None, :]), smem(Y[None, :]), smem(Z[None, :]),
-                  smem(tiles)] + [full(l) for l in leaves],
+                  smem(tiles)]
+        + [full(l) for l in leaves]
+        + [wspec for _ in wins],
         out_specs=(
             pl.BlockSpec((1, TS, TS, TS), lambda i: (i, 0, 0, 0)),
             pl.BlockSpec((1, tile, tile, tile), lambda i: (i, 0, 0, 0)),
@@ -189,7 +222,7 @@ def eval_tiles_and_classify(sdf_c, X, Y, Z, tiles, ntc, tile,
             jax.ShapeDtypeStruct((ntc, tile, tile, tile), jnp.int32),
         ),
         interpret=interpret,
-    )(X[None, :], Y[None, :], Z[None, :], tiles, *leaves)
+    )(X[None, :], Y[None, :], Z[None, :], tiles, *leaves, *wins)
 
 
 def _prep_tree(sdf_c, dtype):
@@ -201,10 +234,15 @@ def _prep_tree(sdf_c, dtype):
     return tuple(leaves), dict(fn=_eval_root, treedef=treedef, scalar=scalar)
 
 
-def _pick_bz(nx, ny, dtype):
-    """Largest z block keeping a (bz+1, nx, ny) slab within ~8 MB VMEM."""
+def _pick_bz(nx, ny, dtype, nvols=0):
+    """Largest z block keeping a (bz+1, nx, ny) slab within ~8 MB VMEM.
+
+    Each pre-computed gather field adds one more (bz+1, nx, ny) block to
+    the kernel's working set, so the budget is shared 1 + nvols ways.
+    """
     slab_bytes = nx * ny * np.dtype(dtype).itemsize
-    return int(max(1, min(8, (8 << 20) // max(1, slab_bytes) - 1)))
+    budget = (8 << 20) // (1 + nvols)
+    return int(max(1, min(8, budget // max(1, slab_bytes) - 1)))
 
 
 def eval_and_classify_traced(sdf_c, X, Y, Zblk, bz=None, interpret=False):
@@ -216,21 +254,33 @@ def eval_and_classify_traced(sdf_c, X, Y, Zblk, bz=None, interpret=False):
     """
     nx, ny, nz = X.shape[0], Y.shape[0], Zblk.shape[0]
     dtype = X.dtype
+    ngather = hybrid.count_gathers(sdf_c)
     if bz is None:
-        bz = _pick_bz(nx, ny, dtype)
+        bz = _pick_bz(nx, ny, dtype, ngather)
     nchunks = max(1, -(-nz // bz))
     need = nchunks * bz + 1
     Zp = jnp.concatenate(
         [Zblk, jnp.full((need - nz,), Zblk[-1], dtype=Zblk.dtype)]
     )
     Zw = Zp[None, :]
-    leaves, treedef = jax.tree_util.tree_flatten(sdf_c)
+    wins = ()
+    tree = sdf_c
+    if ngather:
+        # XLA pre-pass: evaluate gather subtrees at their transformed
+        # query points over overlapping per-block z windows; the kernel
+        # evaluates the rest of the tree with placeholders popping these.
+        widx = np.arange(nchunks)[:, None] * bz + np.arange(bz + 1)[None, :]
+        wins = hybrid.record_dense_windows(
+            hybrid.to_recording_tree(sdf_c), X, Y, Zp[widx]
+        )
+        tree = hybrid.to_pallas_tree(sdf_c)
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
     leaves = [jnp.asarray(l, dtype=dtype) for l in leaves]
     scalar = tuple(l.ndim == 0 for l in leaves)
     leaves = [l.reshape(1) if l.ndim == 0 else l for l in leaves]
     return _pallas_invoke(
         tuple(leaves), X, Y, Zw, _eval_root, treedef, scalar, nz, bz,
-        interpret,
+        interpret, wins,
     )
 
 

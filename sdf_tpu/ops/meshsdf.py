@@ -251,6 +251,9 @@ class Mesh:
             "estimator": estimator,
         }
 
+        from ..core.hybrid import mark_gather
+
+        @mark_gather
         def fn(q, p):
             # Cheap box gate (ref sdf/mesh.py:102-105), then trilinear fetch.
             e = q["estimator"](p)

@@ -178,6 +178,9 @@ def polygon(points):
     # into the jaxpr (minutes-long compiles for digitized outlines).
     params = {"points": as_param(np.asarray(points, dtype=np.float64))}
 
+    from ..core.hybrid import mark_gather
+
+    @mark_gather  # rolled edge loop: dynamic_slice, no Mosaic lowering
     def fn(q, p):
         import jax
 

@@ -118,6 +118,9 @@ def _texture_sdf(width, height, pixels, px, py, im):
     params = {"texture": as_param(texture), "rectangle": rectangle}
     extent = (x0, y0, x1, y1)
 
+    from ..core.hybrid import mark_gather
+
+    @mark_gather
     def fn(q, p):
         tex = q["texture"]
         x, y = p.c

@@ -130,3 +130,72 @@ def test_fused_tile_kernel_matches_xla_tiles():
     ta = ta[np.lexsort(ta.T[::-1])]
     tb = tb[np.lexsort(tb.T[::-1])]
     np.testing.assert_allclose(ta, tb, atol=1e-5)
+
+
+def _hybrid_case(f):
+    """Fused-kernel (interpret) vol+case vs the XLA eval for one expr."""
+    import numpy as np
+    import jax.numpy as jnp
+    from sdf_tpu.core import pallas_eval, engine, mc
+    from sdf_tpu.core.node import cast
+
+    X = np.arange(-1.0, 1.0, 0.1)
+    sdf_c = cast(f, jnp.float32)
+    vol, case = pallas_eval.eval_and_classify(
+        sdf_c, X, X, X, jnp.float32, interpret=True
+    )
+    ref = engine._eval_volume(sdf_c, X, X, X, jnp.float32)
+    np.testing.assert_allclose(np.asarray(vol), np.asarray(ref), atol=1e-5)
+    np.testing.assert_array_equal(
+        np.asarray(case), np.asarray(mc._cell_cases(ref))
+    )
+
+
+def test_hybrid_gather_split_texture():
+    """Texture SDFs run in the fused kernel via the XLA-gather pre-pass
+    (core/hybrid.py), including under a point transform above them."""
+    import numpy as np
+    import sdf_tpu as st
+
+    g = np.meshgrid(np.linspace(-1, 1, 32), np.linspace(-1, 1, 32))
+    img = (np.hypot(*g) < 0.7).astype(np.uint8) * 255
+    _hybrid_case(st.image(img, width=1.5).extrude(0.5) & st.sphere(0.8))
+    _hybrid_case(st.image(img, width=1.5).extrude(0.8).twist(2.0))
+
+
+def test_hybrid_gather_split_polygon_and_legacy():
+    import numpy as np
+    import sdf_tpu as st
+
+    _hybrid_case(st.polygon([(0.5, 0), (0, 0.5), (-0.5, 0)]).extrude(0.5))
+    _hybrid_case(st.sdf3(lambda: (lambda p: np.linalg.norm(p, axis=1) - 0.7))())
+
+
+def test_hybrid_gather_multi_call_parent():
+    """circular_array evaluates its child twice: two recordings must pair
+    with two placeholder pops in execution order."""
+    import sdf_tpu as st
+
+    blade = st.polygon([(0.4, 0), (0.6, 0.1), (0.6, -0.1)]).extrude(0.2)
+    _hybrid_case(st.circular_array(blade, 6))
+
+
+def test_hybrid_gather_sparse_tiles():
+    """sparse='tiles' + use_pallas=True works for gather expressions."""
+    import numpy as np
+    import jax.numpy as jnp
+    import sdf_tpu as st
+
+    g = np.meshgrid(np.linspace(-1, 1, 32), np.linspace(-1, 1, 32))
+    img = (np.hypot(*g) < 0.7).astype(np.uint8) * 255
+    f = st.image(img, width=1.5).extrude(0.5)
+    kw = dict(samples=2**14, verbose=False, dtype=jnp.float64,
+              bounds=((-1.05,) * 3, (1.05,) * 3), batch_size=8)
+    a = f.generate(sparse="tiles", use_pallas=False, **kw)
+    b = f.generate(sparse="tiles", use_pallas=True, **kw)
+    assert len(a) == len(b)
+    ta = np.asarray(a).reshape(-1, 9).round(6)
+    tb = np.asarray(b).reshape(-1, 9).round(6)
+    ta = ta[np.lexsort(ta.T[::-1])]
+    tb = tb[np.lexsort(tb.T[::-1])]
+    np.testing.assert_allclose(ta, tb, atol=1e-5)
