@@ -215,8 +215,31 @@ def _estimate_bounds_jit(sdf, dtype):
     return lo, hi, empty
 
 
+_BOUNDS_MEMO = {}
+_EMPTY = np.empty(0)
+
+
 def _estimate_bounds(sdf, dtype=jnp.float32):
-    """Probe-grid bounds estimation (ref sdf/core.py:62-82), on device."""
+    """Probe-grid bounds estimation (ref sdf/core.py:62-82), on device.
+
+    The refinement loop is deterministic in the expression (structure,
+    parameter leaves, AND closure statics -- the same fingerprint the
+    checkpoint machinery uses), so repeat ``generate()`` calls on an
+    unchanged model reuse the memoized result instead of paying the
+    ~160 ms device round trip every time.  ``.k()`` tags and parameter
+    edits change the fingerprint and re-probe.
+    """
+    from ..utils import checkpoint as ckpt
+
+    try:
+        key = (
+            ckpt.fingerprint(sdf, _EMPTY, _EMPTY, _EMPTY, "bounds"),
+            str(jnp.dtype(dtype)),
+        )
+    except Exception:
+        key = None  # unhashable exotic closure: just re-estimate
+    if key is not None and key in _BOUNDS_MEMO:
+        return _BOUNDS_MEMO[key]
     sdf_c = cast(sdf, dtype)
     lo, hi, empty = _estimate_bounds_jit(sdf_c, dtype)
     lo, hi, empty = np.asarray(lo), np.asarray(hi), bool(empty)
@@ -224,7 +247,12 @@ def _estimate_bounds(sdf, dtype=jnp.float32):
         raise ValueError(
             "bounds estimation failed (no surface found); pass bounds= explicitly"
         )
-    return (tuple(lo.tolist()), tuple(hi.tolist()))
+    out = (tuple(lo.tolist()), tuple(hi.tolist()))
+    if key is not None:
+        if len(_BOUNDS_MEMO) > 256:
+            _BOUNDS_MEMO.clear()
+        _BOUNDS_MEMO[key] = out
+    return out
 
 
 def _tile_slices(n, size):

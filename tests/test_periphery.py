@@ -300,3 +300,25 @@ def test_debug_triangles_marks_skipped_and_empty():
     # the marker boxes live strictly inside their batch extents
     extra = dbg[len(plain):]
     assert np.all(extra >= -2.0) and np.all(extra <= 2.0)
+
+
+def test_bounds_memo_keyed_on_expression():
+    """Repeat generate() on an unchanged model reuses memoized bounds;
+    any parameter or static change re-probes."""
+    import sdf_tpu as st
+    from sdf_tpu.core import engine
+
+    engine._BOUNDS_MEMO.clear()
+    a = engine._estimate_bounds(st.sphere(1.0))
+    assert len(engine._BOUNDS_MEMO) == 1
+    # Rebuilt-identical expression: memo hit (fresh fn identities).
+    b = engine._estimate_bounds(st.sphere(1.0))
+    assert a == b and len(engine._BOUNDS_MEMO) == 1
+    # Changed parameter leaf: memo miss, different bounds.
+    c = engine._estimate_bounds(st.sphere(2.0))
+    assert len(engine._BOUNDS_MEMO) == 2 and c != a
+    # Changed closure static (circular_array count): memo miss.
+    base = st.sphere(0.3).translate((1.0, 0, 0))
+    engine._estimate_bounds(st.circular_array(base, 4))
+    engine._estimate_bounds(st.circular_array(base, 12))
+    assert len(engine._BOUNDS_MEMO) == 4
