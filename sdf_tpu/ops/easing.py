@@ -1,178 +1,141 @@
 """Easing curves ``t in [0,1] -> R`` (behavioral parity with ref sdf/ease.py).
 
-Written against ``jax.numpy`` so they trace/fuse inside jitted SDF
-expressions (they are used as shape parameters of bend/transition/extrude
-operators).  Branches use ``jnp.where`` on full arrays, like the reference's
-vectorized numpy, so they are jit- and grad-compatible.
+The reference ships 34 hand-written numpy functions.  Here each family is
+defined once by its core acceleration curve and the rest of the trio is
+*derived* through the two standard easing identities:
+
+  * reflection     ``out(t) = 1 - in(1 - t)``     (decelerate = mirrored
+    accelerate)
+  * symmetrization ``in_out(t) = in(2t)/2``            for t < 1/2,
+                   ``1 - in(2 - 2t)/2``               otherwise
+
+Derived values match the reference's explicit formulas to ~1 ulp (the
+identities are exact in real arithmetic; parity is pinned to 1e-12 by
+``tests/test_parity_3d.py``).  Two families stay explicit: ``square``
+(step functions whose t=1/2 boundary value the identities would flip)
+and the piecewise-parabola ``out_bounce`` spec itself.
+
+Everything is ``jax.numpy`` so the curves trace, fuse, and differentiate
+inside jitted SDF expressions (they parameterize bend/transition/
+extrude_to/wrap_around).  Branchy curves use ``jnp.where`` over full
+arrays; domain guards (`circ`) live in the cores so unselected branches
+stay NaN-free under ``jax.grad``.
 """
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax.numpy as jnp
 
+
+def _named(name, f):
+    f.__name__ = f.__qualname__ = name
+    return f
+
+
+def reflected(ease_in, name=None):
+    """Derive the decelerating curve: ``out(t) = 1 - in(1 - t)``."""
+
+    def out(t, *args):
+        return 1 - ease_in(1 - jnp.asarray(t), *args)
+
+    return _named(name or "out", out)
+
+
+def symmetrized(ease_in, name=None):
+    """Derive the ease-in-out curve: accelerate into t=1/2, then the
+    point-reflected deceleration out of it."""
+
+    def in_out(t, *args):
+        t = jnp.asarray(t)
+        first = ease_in(2 * t, *args) / 2
+        second = 1 - ease_in(2 - 2 * t, *args) / 2
+        return jnp.where(t < 0.5, first, second)
+
+    return _named(name or "in_out", in_out)
+
+
+def _trio(ease_in, stem, in_out_core=None):
+    """(in, out, in_out) from a core curve; ``in_out_core`` overrides the
+    curve symmetrization composes (back uses a different overshoot k)."""
+    return (
+        _named("in_" + stem, ease_in),
+        reflected(ease_in, "out_" + stem),
+        symmetrized(in_out_core or ease_in, "in_out_" + stem),
+    )
+
+
+# --- polynomial / trigonometric / exponential cores ------------------------
 
 def linear(t):
     return t
 
 
-def in_quad(t):
-    return t * t
+def _power(t, p):
+    return jnp.asarray(t) ** p
 
 
-def out_quad(t):
-    return -t * (t - 2)
+in_quad, out_quad, in_out_quad = _trio(partial(_power, p=2), "quad")
+in_cubic, out_cubic, in_out_cubic = _trio(partial(_power, p=3), "cubic")
+in_quart, out_quart, in_out_quart = _trio(partial(_power, p=4), "quart")
+in_quint, out_quint, in_out_quint = _trio(partial(_power, p=5), "quint")
 
 
-def in_out_quad(t):
-    u = 2 * t - 1
-    a = 2 * t * t
-    b = -0.5 * (u * (u - 2) - 1)
-    return jnp.where(t < 0.5, a, b)
+def _sine(t):
+    return 1 - jnp.cos(jnp.asarray(t) * (jnp.pi / 2))
 
 
-def in_cubic(t):
-    return t * t * t
+in_sine, out_sine, in_out_sine = _trio(_sine, "sine")
 
 
-def out_cubic(t):
-    u = t - 1
-    return u * u * u + 1
-
-
-def in_out_cubic(t):
-    u = t * 2
-    v = u - 2
-    a = 0.5 * u * u * u
-    b = 0.5 * (v * v * v + 2)
-    return jnp.where(u < 1, a, b)
-
-
-def in_quart(t):
-    return t * t * t * t
-
-
-def out_quart(t):
-    u = t - 1
-    return -(u * u * u * u - 1)
-
-
-def in_out_quart(t):
-    u = t * 2
-    v = u - 2
-    a = 0.5 * u * u * u * u
-    b = -0.5 * (v * v * v * v - 2)
-    return jnp.where(u < 1, a, b)
-
-
-def in_quint(t):
-    return t * t * t * t * t
-
-
-def out_quint(t):
-    u = t - 1
-    return u * u * u * u * u + 1
-
-
-def in_out_quint(t):
-    u = t * 2
-    v = u - 2
-    a = 0.5 * u * u * u * u * u
-    b = 0.5 * (v * v * v * v * v + 2)
-    return jnp.where(u < 1, a, b)
-
-
-def in_sine(t):
-    return -jnp.cos(t * jnp.pi / 2) + 1
-
-
-def out_sine(t):
-    return jnp.sin(t * jnp.pi / 2)
-
-
-def in_out_sine(t):
-    return -0.5 * (jnp.cos(jnp.pi * t) - 1)
-
-
-def in_expo(t):
+def _expo(t):
+    # 2^(10(t-1)) with the reference's exact-zero pin at t == 0.
     t = jnp.asarray(t)
     return jnp.where(t == 0, jnp.zeros_like(t), 2.0 ** (10 * (t - 1)))
 
 
-def out_expo(t):
+in_expo, out_expo, in_out_expo = _trio(_expo, "expo")
+
+
+def _circ(t):
+    # Guarded sqrt: symmetrized() evaluates both branches, and the
+    # unselected branch sees t > 1; max() keeps it (and its gradient)
+    # NaN-free.
     t = jnp.asarray(t)
-    return jnp.where(t == 1, jnp.ones_like(t), 1 - 2.0 ** (-10 * t))
+    return 1 - jnp.sqrt(jnp.maximum(1 - t * t, 0))
 
 
-def in_out_expo(t):
+in_circ, out_circ, in_out_circ = _trio(_circ, "circ")
+
+
+# --- elastic (parameterized period k) ---------------------------------------
+
+def _elastic(t, k=0.5):
+    u = jnp.asarray(t) - 1
+    return -(2.0 ** (10 * u)) * jnp.sin((u - k / 4) * (2 * jnp.pi) / k)
+
+
+in_elastic, out_elastic, in_out_elastic = _trio(_elastic, "elastic")
+
+
+# --- back (overshoot; in_out uses a widened overshoot constant) -------------
+
+def _back(t, k):
     t = jnp.asarray(t)
-    a = 0.5 * 2.0 ** (20 * t - 10)
-    b = 1 - 0.5 * 2.0 ** (-20 * t + 10)
-    return jnp.where(
-        t == 0,
-        jnp.zeros_like(t),
-        jnp.where(t == 1, jnp.ones_like(t), jnp.where(t < 0.5, a, b)),
-    )
-
-
-def in_circ(t):
-    return -1 * (jnp.sqrt(1 - t * t) - 1)
-
-
-def out_circ(t):
-    u = t - 1
-    return jnp.sqrt(1 - u * u)
-
-
-def in_out_circ(t):
-    u = t * 2
-    v = u - 2
-    a = -0.5 * (jnp.sqrt(jnp.maximum(1 - u * u, 0)) - 1)
-    b = 0.5 * (jnp.sqrt(jnp.maximum(1 - v * v, 0)) + 1)
-    return jnp.where(u < 1, a, b)
-
-
-def in_elastic(t, k=0.5):
-    u = t - 1
-    return -1 * (2.0 ** (10 * u) * jnp.sin((u - k / 4) * (2 * jnp.pi) / k))
-
-
-def out_elastic(t, k=0.5):
-    return 2.0 ** (-10 * t) * jnp.sin((t - k / 4) * (2 * jnp.pi / k)) + 1
-
-
-def in_out_elastic(t, k=0.5):
-    u = t * 2
-    v = u - 1
-    a = -0.5 * (2.0 ** (10 * v) * jnp.sin((v - k / 4) * 2 * jnp.pi / k))
-    b = 2.0 ** (-10 * v) * jnp.sin((v - k / 4) * 2 * jnp.pi / k) * 0.5 + 1
-    return jnp.where(u < 1, a, b)
-
-
-def in_back(t):
-    k = 1.70158
     return t * t * ((k + 1) * t - k)
 
 
-def out_back(t):
-    k = 1.70158
-    u = t - 1
-    return u * u * ((k + 1) * u + k) + 1
+in_back, out_back, in_out_back = _trio(
+    partial(_back, k=1.70158), "back",
+    in_out_core=partial(_back, k=1.70158 * 1.525),
+)
 
 
-def in_out_back(t):
-    k = 1.70158 * 1.525
-    u = t * 2
-    v = u - 2
-    a = 0.5 * (u * u * ((k + 1) * u - k))
-    b = 0.5 * (v * v * ((k + 1) * v + k) + 2)
-    return jnp.where(u < 1, a, b)
-
-
-def in_bounce(t):
-    return 1 - out_bounce(1 - t)
-
+# --- bounce (the piecewise-parabola OUT curve is the spec) -------------------
 
 def out_bounce(t):
+    t = jnp.asarray(t)
     a = (121 * t * t) / 16
     b = (363 / 40 * t * t) - (99 / 10 * t) + 17 / 5
     c = (4356 / 361 * t * t) - (35442 / 1805 * t) + 16061 / 1805
@@ -182,11 +145,11 @@ def out_bounce(t):
     )
 
 
-def in_out_bounce(t):
-    a = in_bounce(2 * t) * 0.5
-    b = out_bounce(2 * t - 1) * 0.5 + 0.5
-    return jnp.where(t < 0.5, a, b)
+in_bounce = reflected(out_bounce, "in_bounce")  # reflection is an involution
+in_out_bounce = symmetrized(in_bounce, "in_out_bounce")
 
+
+# --- square (step functions: boundary semantics are the contract) -----------
 
 def in_square(t):
     t = jnp.asarray(t)
