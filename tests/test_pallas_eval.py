@@ -199,3 +199,33 @@ def test_hybrid_gather_sparse_tiles():
     ta = ta[np.lexsort(ta.T[::-1])]
     tb = tb[np.lexsort(tb.T[::-1])]
     np.testing.assert_allclose(ta, tb, atol=1e-5)
+
+
+def test_sharded_pallas_hybrid_gather():
+    """The shard_map dense path runs the fused kernel for gather-bearing
+    expressions too (hybrid split inside each device's slab)."""
+    import numpy as np
+    import jax.numpy as jnp
+    import sdf_tpu as st
+    from sdf_tpu.core.node import cast
+    from sdf_tpu.parallel.grid import make_mesh, mesh_and_march
+
+    g = np.meshgrid(np.linspace(-1, 1, 32), np.linspace(-1, 1, 32))
+    img = (np.hypot(*g) < 0.7).astype(np.uint8) * 255
+    f = cast(st.image(img, width=1.5).extrude(0.5) & st.sphere(0.8),
+             jnp.float64)
+    mesh = make_mesh()
+    X = np.arange(-0.8, 0.8, 0.07)
+    skip = np.zeros((1, 1, 1), dtype=bool)
+    a, pta = mesh_and_march(f, X, X, X, skip, 32, mesh, jnp.float64)
+    b, ptb = mesh_and_march(
+        f, X, X, X, skip, 32, mesh, jnp.float64,
+        use_pallas=True, interpret=True,
+    )
+    ta = np.asarray(a).reshape(-1, 9).round(6)
+    tb = np.asarray(b).reshape(-1, 9).round(6)
+    ta = ta[np.lexsort(ta.T[::-1])]
+    tb = tb[np.lexsort(tb.T[::-1])]
+    assert ta.shape == tb.shape
+    np.testing.assert_allclose(ta, tb, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(pta), np.asarray(ptb))
