@@ -10,9 +10,11 @@ not reliably fence through a tunneled TPU runtime, and per-call timings
 otherwise measure dispatch):
 
   eval_ms / classify+count / gather / emit  -- device-side phases
-  d2h_ms, d2h_mb                            -- triangle readback, reported
-                                               separately (tunnel-bound
-                                               here, PCIe on real hosts)
+  d2h_ms, d2h_mb                            -- indexed-mesh readback
+                                               (unique verts + faces),
+                                               reported separately
+                                               (tunnel-bound here, PCIe
+                                               on real hosts)
   e2e_ms                                    -- warm generate() wall time
 
 Timing method: warm up (compile), then K back-to-back dispatches with one
@@ -83,6 +85,9 @@ def main():
     pts_per_s = n_points / t_eval
 
     # --- per-phase dense pipeline (each fenced) --------------------------
+    # Gather/emit use the indexed-mesh path generate() runs: unique
+    # per-edge vertices + int32 faces (half the readback bytes of the
+    # triangle soup; see mc.emit_indexed).
     cshape = (len(X) - 1, len(Y) - 1, len(Z) - 1)
     keep = jnp.ones(cshape, dtype=bool)
     classify = jax.jit(lambda v, k: mc.active_count(mc._cell_cases(v), k))
@@ -90,23 +95,26 @@ def main():
     n_cells = int(ncells_dev)
     ccap = mc.round_capacity(n_cells)
     tshape = tuple(-(-c // s) for c in cshape)
-    t_gather, (total, per_tile, _, cell_state) = _timed(
-        lambda v, c, a: mc.gather_active(v, c, a, ccap, s, tshape),
+    t_gather, (total, per_tile, n_edges, cell_state, emask) = _timed(
+        lambda v, c, a: mc.gather_active_indexed(v, c, a, ccap, s, tshape),
         vol, mc._cell_cases(vol), active,
     )
-    n = int(total)
+    n, ne = int(total), int(n_edges)
     cap = mc.round_capacity(n)
-    t_emit, (dverts, n_tris) = _timed(
-        lambda st_: mc.emit_gathered(st_, cap, ccap), cell_state
+    ecap = mc.round_capacity(ne)
+    t_emit, (everts, faces, n_tris) = _timed(
+        lambda v, m, st_: mc.emit_indexed(v, m, st_, ecap, cap, ccap),
+        vol, emask, cell_state,
     )
 
-    # --- triangle readback, reported separately (best of 3) --------------
+    # --- mesh readback, reported separately (best of 3) ------------------
     t_d2h = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        host = np.asarray(dverts[:, : int(n_tris)])
+        vh = np.asarray(everts[:, :ne])
+        fh = np.asarray(faces[:, : int(n_tris)])
         t_d2h = min(t_d2h, time.perf_counter() - t0)
-    mb = host.nbytes / 1e6
+    mb = (vh.nbytes + fh.nbytes) / 1e6
 
     # --- warm end-to-end generate() (best of 3) --------------------------
     f.generate(samples=samples, verbose=False)  # warm

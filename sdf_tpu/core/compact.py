@@ -114,6 +114,62 @@ def indices_of_pallas(mask, capacity, interpret=False):
     return jnp.where(j < total, out, 0), total
 
 
+def _rowprefix_kernel(m_ref, out_ref):
+    m = m_ref[...]  # (R, 128) int32 0/1
+    lane = jax.lax.broadcasted_iota(jnp.int32, (_R, _LANES), 1)
+    p = m
+    for k in (1, 2, 4, 8, 16, 32, 64):
+        p = p + jnp.where(lane >= k, pltpu.roll(p, k, 1), 0)
+    out_ref[...] = p
+
+
+def _rowprefix(mask2d, interpret=False):
+    """(rows, 128) int32 mask -> per-row INCLUSIVE lane prefix sums."""
+    rows = mask2d.shape[0]
+    return pl.pallas_call(
+        _rowprefix_kernel,
+        grid=(rows // _R,),
+        in_specs=[pl.BlockSpec((_R, _LANES), lambda i: (i, 0))],
+        out_specs=pl.BlockSpec((_R, _LANES), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((rows, _LANES), jnp.int32),
+        interpret=interpret,
+    )(mask2d)
+
+
+def ranks_of_pallas(mask, interpret=False):
+    """Pallas path for ranks_of (see there)."""
+    n = mask.shape[0]
+    rows = -(-n // _LANES)
+    rows_padded = -(-rows // _R) * _R
+    m2 = (
+        jnp.pad(mask.astype(jnp.int32), (0, rows_padded * _LANES - n))
+        .reshape(rows_padded, _LANES)
+    )
+    p = _rowprefix(m2, interpret=interpret)  # (rows, 128) inclusive
+    cnt = p[:, _LANES - 1]  # row totals fall out of the prefix
+    boff = jnp.cumsum(cnt) - cnt  # exclusive row offsets (N/128 elements)
+    return (p + (boff[:, None] - 1)).reshape(-1)[:n]
+
+
+def ranks_of(mask, backend=None):
+    """Compaction rank of every element of 1D bool ``mask``: for True
+    elements, ``out[i]`` is that element's index in the compacted stream
+    (``== indices_of(mask, cap).tolist().index(i)``); for False elements
+    the value is meaningless (one less than the next True rank).  This is
+    the scatter-free inverse of ``indices_of``: consumers that would
+    scatter compacted slots back into the full domain gather from this
+    instead (XLA scatter costs ~10x a same-size gather on TPU).
+
+    Equivalent to ``jnp.cumsum(mask) - 1`` but with the O(N) prefix work
+    in the row-pack Pallas kernel; only an N/128 cumsum remains in XLA.
+    """
+    if backend is None:
+        backend = jax.default_backend()
+    if backend == "tpu":
+        return ranks_of_pallas(mask)
+    return jnp.cumsum(mask.astype(jnp.int32)) - 1
+
+
 def indices_of(mask, capacity, backend=None):
     """Indices of True elements of 1D ``mask``, ascending, padded with 0
     to static ``capacity`` -- same contract as

@@ -618,23 +618,34 @@ def generate(
             verts = np.zeros((0, 3), dtype=np.float64)
             per_tile = np.zeros(skip.shape, dtype=np.int64)
         else:
+            # Indexed emit: the device produces one vertex per unique
+            # crossing EDGE plus int32 faces, halving the device-to-host
+            # bytes vs the triangle soup (12 B/vertex + 12 B/tri vs
+            # 36 B/tri at ~2 triangles per vertex); the soup the caller
+            # sees is reconstructed below, bit-identical (see
+            # mc.emit_indexed).
             cell_capacity = mc.round_capacity(n_cells)
             tshape = tuple(-(-c // s) for c in cshape)
             with _phase("mc_gather", stats):
-                total, per_tile, _, cell_state = mc.gather_active(
-                    vol, case, active, cell_capacity, s, tshape
+                total, per_tile, n_edges, cell_state, emask = (
+                    mc.gather_active_indexed(
+                        vol, case, active, cell_capacity, s, tshape
+                    )
                 )
-            n = int(total)
+            # One round trip for both capacity counts.
+            n, ne = (int(v) for v in jax.device_get((total, n_edges)))
             capacity = mc.round_capacity(n)
+            edge_capacity = mc.round_capacity(ne)
             with _phase("mc_emit", stats):
-                dverts, n_tris = mc.emit_gathered(
-                    cell_state, capacity, cell_capacity
+                everts, faces, n_tris = mc.emit_indexed(
+                    vol, emask, cell_state, edge_capacity, capacity,
+                    cell_capacity,
                 )
             n = int(n_tris)
-            # (9, n) SoA columns -> (3n, 3) vertex rows (see mc.emit).
-            verts = (
-                np.asarray(dverts[:, :n], dtype=np.float64).T.reshape(-1, 3)
-            )
+            with _phase("d2h", stats):
+                vh = np.asarray(everts[:, :ne], dtype=np.float64).T  # (ne, 3)
+                fh = np.asarray(faces[:, :n])  # (3, n) int32
+            verts = vh[fh.T.reshape(-1)]
 
     scale = np.array([dx, dy, dz])
     offset = np.array([X[0], Y[0], Z[0]])

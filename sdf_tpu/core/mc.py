@@ -147,6 +147,233 @@ def emit_gathered(cell_state, capacity, cell_capacity):
     )
 
 
+# ---------------------------------------------------------------------------
+# Indexed-mesh emit: unique vertices per crossing EDGE + int32 face indices.
+#
+# Marching-cubes vertices live on grid edges, and every cell sharing an edge
+# interpolates the same two corner values in the same canonical direction
+# (EDGE_CORNERS order) -- so the soup stores each position ~6x redundantly.
+# Emitting (vertices-per-unique-edge, faces) instead halves the bytes read
+# back to the host (12 B/vertex + 12 B/triangle vs 36 B/triangle), which is
+# the dominant end-to-end cost at large grids; the host reconstructs the
+# reference's flat soup with one gather, bit-identical to ``emit``'s output
+# (same t formula, same canonical edge direction, same triangle order).
+#
+# Edge ids: the three axis-aligned edge grids are flattened back-to-back --
+# x-edges (nx-1, ny, nz), then y-edges (nx, ny-1, nz), then z-edges
+# (nx, ny, nz-1).
+# ---------------------------------------------------------------------------
+
+# Per cube edge: its axis and the (coordinate-wise lower) origin corner.
+_EDGE_AXIS = np.argmax(
+    CORNER_OFFSETS[EDGE_CORNERS[:, 1]] - CORNER_OFFSETS[EDGE_CORNERS[:, 0]],
+    axis=1,
+).astype(np.int32)
+_EDGE_ORIG = CORNER_OFFSETS[EDGE_CORNERS[:, 0]]  # (12, 3)
+
+# (256, MAX_TRIS, 3) cube-edge ids with padding clamped to edge 0.
+_TF3 = np.maximum(TRI_TABLE, 0)
+
+
+def _tri_gid_pack(ny, nz, Sx, Sy):
+    """Per (case, slot): packed global-edge-id coefficients for the three
+    vertices, as one (256 * MAX_TRIS, 9) int32 row-gather table.
+
+    A vertex's global edge id is affine in its cell coordinates:
+    ``gid = cx * sx + cy * sy + cz + K`` where (sx, sy, K) depend only on
+    the edge's axis and origin-corner offset -- constants per (case,
+    slot, vertex) once the (static) grid dims are known, so the whole
+    table is a trace-time numpy constant.  Row layout:
+    ``[sx0 sy0 K0 sx1 sy1 K1 sx2 sy2 K2]``.
+    """
+    ax = _EDGE_AXIS[_TF3]  # (256, MAX_TRIS, 3)
+    o = _EDGE_ORIG[_TF3]  # (256, MAX_TRIS, 3, 3)
+    my = np.where(ax == 1, ny - 1, ny)
+    mz = np.where(ax == 2, nz - 1, nz)
+    base = np.where(ax == 0, 0, np.where(ax == 1, Sx, Sx + Sy))
+    sx = my * mz
+    sy = mz
+    k = base + o[..., 0] * sx + o[..., 1] * sy + o[..., 2]
+    return (
+        np.stack([sx, sy, k], axis=-1)
+        .reshape(256 * MAX_TRIS_PER_CELL, 9)
+        .astype(np.int32)
+    )
+
+
+def _edge_mask(volume, active):
+    """Flat bool mask over all grid edges: sign-crossing AND adjacent to an
+    active cell (so culled regions contribute no stray vertices)."""
+    sign = volume < 0
+
+    def adj(a, axes):
+        # Dilate the active-cell mask by one cell along the two axes
+        # orthogonal to the edge direction: an edge touches up to 4 cells.
+        pads = [(0, 0)] * 3
+        for ax in axes:
+            pads[ax] = (1, 1)
+        b = jnp.pad(a, pads)
+        for ax in axes:
+            lo = [slice(None)] * 3
+            hi = [slice(None)] * 3
+            lo[ax] = slice(0, b.shape[ax] - 1)
+            hi[ax] = slice(1, None)
+            b = b[tuple(lo)] | b[tuple(hi)]
+        return b
+
+    ex = (sign[:-1] != sign[1:]) & adj(active, (1, 2))
+    ey = (sign[:, :-1] != sign[:, 1:]) & adj(active, (0, 2))
+    ez = (sign[:, :, :-1] != sign[:, :, 1:]) & adj(active, (0, 1))
+    return jnp.concatenate([ex.reshape(-1), ey.reshape(-1), ez.reshape(-1)])
+
+
+def compact_cells(case, active, cell_capacity):
+    """Traced helper: compact the active cells into ``cell_state``
+    (shared by the single-device and sharded indexed paths).  Returns
+    ``(ci, cj, ck, cell_case, cell_ntri)``, each ``(cell_capacity,)``.
+    """
+    cshape = case.shape
+    aflat = active.reshape(-1)
+    cell_idx = compact.indices_of(aflat, cell_capacity)
+    n_cells = jnp.sum(aflat.astype(jnp.int32))
+    live = jnp.arange(cell_capacity) < n_cells
+    cell_case = case.reshape(-1)[cell_idx]
+    cell_ntri = jnp.where(live, jnp.asarray(NTRI_TABLE)[cell_case], 0)
+    ci, cj, ck = jnp.unravel_index(cell_idx, cshape)
+    return (ci.astype(jnp.int32), cj.astype(jnp.int32), ck.astype(jnp.int32),
+            cell_case, cell_ntri)
+
+
+@partial(jax.jit, static_argnames=("cell_capacity", "tile", "tshape"))
+def gather_active_indexed(volume, case, active, cell_capacity, tile, tshape):
+    """Phase 2 for the indexed path: compact active cells + count edges.
+
+    Like ``gather_active`` but skips the corner-value gather (the indexed
+    emit interpolates per unique edge, not per cell corner) and
+    additionally returns the active-edge mask and its count, so the host
+    can size the static vertex buffer.  Returns
+    ``(total_tris, per_tile, n_edges, cell_state, edge_mask)``.
+    """
+    state = compact_cells(case, active, cell_capacity)
+    ci, cj, ck, _, cell_ntri = state
+    total = jnp.sum(cell_ntri)
+
+    # Dead (padding) cells carry cell_ntri == 0, so binning them into
+    # tile 0 adds nothing -- no live guard needed.
+    tx, ty, tz = tshape
+    tid = ((ci // tile) * ty + (cj // tile)) * tz + (ck // tile)
+    per_tile = jax.ops.segment_sum(
+        cell_ntri, tid, num_segments=tx * ty * tz
+    ).reshape(tshape)
+
+    emask = _edge_mask(volume, active)
+    n_edges = jnp.sum(emask.astype(jnp.int32))
+    return total, per_tile, n_edges, state, emask
+
+
+@partial(jax.jit, static_argnames=("edge_capacity", "capacity", "cell_capacity"))
+def emit_indexed(volume, emask, cell_state, edge_capacity, capacity,
+                 cell_capacity):
+    """Phase 3 for the indexed path: unique vertices + int32 faces.
+
+    Returns ``(everts (3, edge_capacity), faces (3, capacity), n_tris)``:
+    ``everts`` holds one interpolated vertex per active edge (ascending
+    global edge id -- x-edge block, then y, then z) in fractional index
+    coordinates; ``faces[v, i]`` indexes triangle i's vertex v into that
+    array.  Reconstructing ``everts.T[faces.T.reshape(-1)]`` yields
+    exactly ``emit``'s soup (same values, same order).
+    """
+    ci, cj, ck, cell_case, cell_ntri = cell_state
+    dtype = volume.dtype
+    nx, ny, nz = volume.shape
+    Sx = (nx - 1) * ny * nz
+    Sy = nx * (ny - 1) * nz
+
+    # --- one vertex per active edge -----------------------------------
+    eidx = compact.indices_of(emask, edge_capacity)
+
+    ax = (eidx >= Sx).astype(jnp.int32) + (eidx >= Sx + Sy).astype(jnp.int32)
+
+    # Decode (x, y, z) under each axis' grid dims and select: divisions by
+    # traced (axis-dependent) values don't lower to the fast
+    # multiply-shift form on TPU, so decode with CONSTANT divisors three
+    # times instead (cheap VPU ops) rather than once dynamically.
+    def decode(local, My, Mz):
+        z = local % Mz
+        rem = local // Mz
+        return rem // My, rem % My, z
+
+    d0 = decode(eidx, ny, nz)
+    d1 = decode(eidx - Sx, ny - 1, nz)
+    d2 = decode(eidx - Sx - Sy, ny, nz - 1)
+
+    def pick(i):
+        return jnp.where(ax == 0, d0[i], jnp.where(ax == 1, d1[i], d2[i]))
+
+    ex, ey, ez = pick(0), pick(1), pick(2)
+
+    vflat = volume.reshape(-1)
+    lin_a = (ex * ny + ey) * nz + ez
+    vstride = jnp.where(ax == 0, ny * nz, jnp.where(ax == 1, nz, 1))
+    va = vflat[lin_a]
+    vb = vflat[lin_a + vstride]
+    denom = va - vb
+    # Same zero-crossing formula as interpolate_slots, term for term, so
+    # positions match the soup path bit-for-bit.
+    t = jnp.clip(va / jnp.where(denom == 0, 1.0, denom), 0.0, 1.0)
+    everts = jnp.stack(
+        [
+            ex.astype(dtype) + t * (ax == 0).astype(dtype),
+            ey.astype(dtype) + t * (ax == 1).astype(dtype),
+            ez.astype(dtype) + t * (ax == 2).astype(dtype),
+        ],
+        axis=0,
+    )  # (3, edge_capacity)
+
+    # --- inverse map: global edge id -> compacted vertex rank ---------
+    # ranks_of instead of scattering arange over eidx: the XLA scatter
+    # into the S-sized domain measured 33 ms at a 2^22 grid vs ~2 ms for
+    # the prefix-rank kernel (see compact.ranks_of).
+    inv = compact.ranks_of(emask)
+
+    # --- compact live slots FIRST, then resolve only real triangles ---
+    # (tri-major: 3 vertex-rank gathers per emitted triangle instead of
+    # 15 per active cell -- random element gathers are the cost here.)
+    slot_valid = (
+        jax.lax.broadcasted_iota(jnp.int32, (cell_capacity, MAX_TRIS_PER_CELL), 1)
+        < cell_ntri[:, None]
+    ).reshape(-1)
+    tri_idx = compact.indices_of(slot_valid, capacity)
+    n_tris = jnp.sum(slot_valid.astype(jnp.int32))
+    ctri = tri_idx // MAX_TRIS_PER_CELL
+    slot = tri_idx % MAX_TRIS_PER_CELL
+
+    # Per-triangle cell data: ONE batched gather over a packed
+    # (4 * cell_capacity) staging array.
+    cellpack = jnp.concatenate([ci, cj, ck, cell_case])
+    cd = cellpack[
+        jnp.concatenate(
+            [ctri + i * cell_capacity for i in range(4)]
+        )
+    ]
+    cx = cd[:capacity]
+    cy = cd[capacity : 2 * capacity]
+    cz = cd[2 * capacity : 3 * capacity]
+    case_t = cd[3 * capacity :]
+
+    # gid = cx*sx + cy*sy + cz + K per vertex, coefficients from one row
+    # gather of the trace-time-constant pack (row gathers move contiguous
+    # rows -- bandwidth-bound, unlike element gathers).
+    tep = jnp.asarray(_tri_gid_pack(ny, nz, Sx, Sy))
+    row = tep[case_t * MAX_TRIS_PER_CELL + slot]  # (capacity, 9)
+    gids = [
+        cx * row[:, 3 * v] + cy * row[:, 3 * v + 1] + cz + row[:, 3 * v + 2]
+        for v in range(3)
+    ]
+    faces = inv[jnp.concatenate(gids)].reshape(3, capacity)
+    return everts, faces, n_tris
+
+
 @partial(jax.jit, static_argnames=("tile",))
 def count(volume, cell_mask, tile, case=None):
     """Phase 1: per-cell triangle counts and per-tile totals.

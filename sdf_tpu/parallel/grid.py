@@ -7,9 +7,11 @@ its slab (SDF evaluation is pointwise, so there is *zero* communication in
 the hot path -- the 1-sample halo plane each slab needs for marching cubes
 is recomputed locally instead of exchanged, mirroring the reference's
 +1-sample batch overlap, ref sdf/core.py:115-117), per-slab marching cubes
-emits into fixed-capacity buffers, and only the final compacted triangle
-soup is gathered to the host (the analog of the reference's results-list
-merge, ref sdf/core.py:128-141).
+emits into fixed-capacity buffers, and only the final compacted INDEXED
+mesh -- unique per-edge vertices + int32 faces, half the bytes of the
+triangle soup (see mc.emit_indexed) -- is gathered to the host, where
+each slab's soup is reconstructed bit-identically (the analog of the
+reference's results-list merge, ref sdf/core.py:128-141).
 
 Collectives used: one ``psum`` over the mesh for the per-tile triangle
 statistics (the reference's skipped/empty/nonempty counters,
@@ -128,16 +130,25 @@ def _phase_count(sdf, X, Y, Zs, keep_xy, mesh, c, ncz, tile, n_z_tiles,
         )
         per_tile = jnp.moveaxis(per_tile, 0, 2)
         per_tile = jax.lax.psum(per_tile, AXIS)
+        # Per-slab active-edge mask + count for the indexed emit (one
+        # vertex per unique crossing edge; see mc.emit_indexed).
+        emask = mc._edge_mask(vol, ntri > 0)
+        nedge = jnp.sum(emask.astype(jnp.int32))
+
         # Global maxima (replicated): every host must agree on the static
         # emit capacities without reading remote shards.
         gmax_t = jax.lax.pmax(total, AXIS)
         gmax_c = jax.lax.pmax(ncell, AXIS)
+        gmax_e = jax.lax.pmax(nedge, AXIS)
         return (
             vol[None],
             case[None],
+            emask[None],
             total[None],
+            nedge[None],
             gmax_t,
             gmax_c,
+            gmax_e,
             per_tile,
         )
 
@@ -145,7 +156,8 @@ def _phase_count(sdf, X, Y, Zs, keep_xy, mesh, c, ncz, tile, n_z_tiles,
         body,
         mesh=mesh,
         in_specs=(P(), P(), P(AXIS), P()),
-        out_specs=(P(AXIS), P(AXIS), P(AXIS), P(), P(), P()),
+        out_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(), P(),
+                   P(), P()),
         # pallas_call's out_shapes carry no vma annotation; psum/pmax
         # still make the replicated outputs genuinely replicated.
         check_vma=False,
@@ -154,36 +166,44 @@ def _phase_count(sdf, X, Y, Zs, keep_xy, mesh, c, ncz, tile, n_z_tiles,
 
 @partial(
     jax.jit,
-    static_argnames=("mesh", "c", "ncz", "tile", "capacity", "cell_capacity"),
+    static_argnames=("mesh", "c", "ncz", "tile", "edge_capacity", "capacity",
+                     "cell_capacity"),
 )
-def _phase_emit(vol, case, keep_xy, mesh, c, ncz, tile, capacity, cell_capacity):
-    """Sharded phase 2: per-slab marching cubes into fixed-size buffers.
+def _phase_emit(vol, case, emask, keep_xy, mesh, c, ncz, tile, edge_capacity,
+                capacity, cell_capacity):
+    """Sharded phase 2: per-slab indexed marching cubes into fixed-size
+    buffers.
 
-    Returns (verts, counts): verts (ndev, 9, capacity) SoA triangles (see
-    mc.emit) in *global* fractional index coordinates; counts (ndev,)
-    valid triangle counts.  ``case`` is phase 1's classification, reused
-    instead of re-running _cell_cases over the resident slab.
+    Returns (everts, faces, counts): everts (ndev, 3, edge_capacity)
+    unique per-edge vertices with z already shifted to *global*
+    fractional index space; faces (ndev, 3, capacity) slab-local int32
+    vertex indices; counts (ndev,) valid triangle counts.  ``case`` and
+    ``emask`` are phase 1's classification and edge mask, reused instead
+    of recomputing over the resident slab.
     """
 
-    def body(vol, case, keep_xy):
+    def body(vol, case, emask, keep_xy):
         vol = vol[0]
         case = case[0]
+        emask = emask[0]
         mask = _local_cell_mask(keep_xy, c, ncz, tile, AXIS)
-        verts, n = mc.emit(vol, mask, capacity, cell_capacity, case)  # (9, cap)
-        dev = jax.lax.axis_index(AXIS)
-        # Local slab cell 0 is global cell dev*c: shift the z components
-        # (rows v*3+2) to global index space.
-        verts = verts.at[jnp.array([2, 5, 8]), :].add(
-            (dev * c).astype(verts.dtype)
+        ntri = jnp.asarray(NTRI_TABLE)[case] * mask.astype(jnp.int32)
+        state = mc.compact_cells(case, (ntri > 0), cell_capacity)
+        everts, faces, n = mc.emit_indexed(
+            vol, emask, state, edge_capacity, capacity, cell_capacity
         )
-        return verts[None], n[None]
+        dev = jax.lax.axis_index(AXIS)
+        # Local slab cell 0 is global cell dev*c: shift the z row to
+        # global index space.
+        everts = everts.at[2, :].add((dev * c).astype(everts.dtype))
+        return everts[None], faces[None], n[None]
 
     return jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(P(AXIS), P(AXIS), P()),
-        out_specs=(P(AXIS), P(AXIS)),
-    )(vol, case, keep_xy)
+        in_specs=(P(AXIS), P(AXIS), P(AXIS), P()),
+        out_specs=(P(AXIS), P(AXIS), P(AXIS)),
+    )(vol, case, emask, keep_xy)
 
 
 def mesh_and_march(sdf_c, X, Y, Z, skip, tile, mesh, dtype,
@@ -220,9 +240,11 @@ def mesh_and_march(sdf_c, X, Y, Z, skip, tile, mesh, dtype,
     Zsd = jnp.asarray(Zs, dtype=dtype)
     keep_d = jnp.asarray(keep_xy)
 
-    vol, case, totals, gmax_t, gmax_c, per_tile = _phase_count(
-        sdf_c, Xd, Yd, Zsd, keep_d, mesh, c, ncz, tile,
-        keep.shape[2], chunk_points, use_pallas, interpret,
+    vol, case, emask, totals, nedges, gmax_t, gmax_c, gmax_e, per_tile = (
+        _phase_count(
+            sdf_c, Xd, Yd, Zsd, keep_d, mesh, c, ncz, tile,
+            keep.shape[2], chunk_points, use_pallas, interpret,
+        )
     )
     # gmax_* are replicated (pmax over the mesh), so every host derives
     # identical static capacities without touching remote shards.
@@ -233,23 +255,37 @@ def mesh_and_march(sdf_c, X, Y, Z, skip, tile, mesh, dtype,
 
     capacity = mc.round_capacity(nmax)
     cell_capacity = mc.round_capacity(int(gmax_c))
-    verts, counts = _phase_emit(
-        vol, case, keep_d, mesh, c, ncz, tile, capacity, cell_capacity
+    edge_capacity = mc.round_capacity(int(gmax_e))
+    everts, faces, counts = _phase_emit(
+        vol, case, emask, keep_d, mesh, c, ncz, tile, edge_capacity,
+        capacity, cell_capacity,
     )
     # Read back only this host's addressable shards: on a pod slice the
     # other hosts' slabs are not locally fetchable (each host returns its
-    # local soup; assemble across hosts with parallel.gather_triangles).
-    cnt = {}
-    for s in counts.addressable_shards:
+    # local indexed mesh; assemble across hosts with
+    # parallel.gather_triangles).  Each slab transfers unique per-edge
+    # vertices + int32 faces (half the soup bytes); its soup is
+    # reconstructed here, bit-identical to mc.emit's (see mc.emit_indexed).
+    def shard_scalar(arr):
+        out = {}
+        for s in arr.addressable_shards:
+            out[s.index[0].start or 0] = int(np.asarray(s.data)[0])
+        return out
+
+    cnt = shard_scalar(counts)
+    nedge = shard_scalar(nedges)
+    vparts = {}
+    for s in everts.addressable_shards:
         i = s.index[0].start or 0
-        cnt[i] = int(np.asarray(s.data)[0])
+        v = np.asarray(s.data, dtype=np.float64)[0]  # (3, edge_capacity)
+        vparts[i] = v[:, : nedge[i]].T  # (ne_i, 3)
     parts = []
     for s in sorted(
-        verts.addressable_shards, key=lambda s: s.index[0].start or 0
+        faces.addressable_shards, key=lambda s: s.index[0].start or 0
     ):
         i = s.index[0].start or 0
-        v = np.asarray(s.data, dtype=np.float64)[0]  # (9, capacity)
-        parts.append(v[:, : cnt[i]].T.reshape(-1, 3))
+        fh = np.asarray(s.data)[0][:, : cnt[i]]  # (3, n_i) int32
+        parts.append(vparts[i][fh.T.reshape(-1)])
     out = (
         np.concatenate(parts, axis=0)
         if parts

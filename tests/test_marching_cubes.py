@@ -162,3 +162,73 @@ def test_compact_kernel_matches_flatnonzero():
         ref = jnp.flatnonzero(m, size=cap, fill_value=0)
         assert int(tot) == na
         np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref))
+
+
+def test_indexed_emit_matches_soup_exactly():
+    """The indexed path (unique per-edge vertices + int32 faces) must
+    reconstruct ``emit``'s triangle soup bit-for-bit -- same zero-crossing
+    formula, same canonical edge direction, same cell-major order -- for
+    smooth volumes, random volumes, and partial cull masks."""
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(11)
+    cases = []
+    sph, _ = _sphere_volume(n=24)
+    cases.append((sph.astype(np.float32), None))
+    cases.append((rng.standard_normal((9, 13, 8)).astype(np.float32), None))
+    vol3 = rng.standard_normal((12, 12, 12)).astype(np.float32)
+    cases.append((vol3, rng.rand(11, 11, 11) > 0.3))
+
+    for volume, keep_np in cases:
+        vol = jnp.asarray(volume)
+        cshape = tuple(s - 1 for s in volume.shape)
+        keep = jnp.asarray(
+            keep_np if keep_np is not None else np.ones(cshape, dtype=bool)
+        )
+        case = mc._cell_cases(vol)
+        ncells, active = mc.active_count(case, keep)
+        n_cells = int(ncells)
+        ccap = mc.round_capacity(n_cells)
+        tile, tshape = 8, tuple(-(-c // 8) for c in cshape)
+
+        total, per_tile, _, cell_state = mc.gather_active(
+            vol, case, active, ccap, tile, tshape
+        )
+        cap = mc.round_capacity(int(total))
+        dverts, n_tris = mc.emit_gathered(cell_state, cap, ccap)
+        nt = int(n_tris)
+        soup = np.asarray(dverts[:, :nt]).T.reshape(-1, 3)
+
+        total2, per_tile2, n_edges, st2, emask = mc.gather_active_indexed(
+            vol, case, active, ccap, tile, tshape
+        )
+        assert int(total2) == int(total)
+        np.testing.assert_array_equal(
+            np.asarray(per_tile), np.asarray(per_tile2)
+        )
+        ne = int(n_edges)
+        ecap = mc.round_capacity(ne)
+        everts, faces, n_tris2 = mc.emit_indexed(
+            vol, emask, st2, ecap, cap, ccap
+        )
+        assert int(n_tris2) == nt
+        vh = np.asarray(everts[:, :ne]).T
+        fh = np.asarray(faces[:, :nt])
+        assert fh.min() >= 0 and fh.max() < ne
+        np.testing.assert_array_equal(vh[fh.T.reshape(-1)], soup)
+        # Dedup really happened: strictly fewer vertices than soup rows.
+        assert ne < 3 * nt
+
+
+def test_ranks_kernel_matches_cumsum():
+    """compact.ranks_of (Pallas prefix-rank, interpret mode) must equal
+    cumsum(mask) - 1 everywhere (True slots = compaction rank)."""
+    import jax.numpy as jnp
+    from sdf_tpu.core import compact
+
+    rng = np.random.RandomState(5)
+    for n, frac in ((500, 0.3), (8192, 0.9), (50001, 0.01), (4000, 0.0)):
+        m = jnp.asarray(rng.rand(n) < frac)
+        got = compact.ranks_of_pallas(m, interpret=True)
+        ref = jnp.cumsum(m.astype(jnp.int32)) - 1
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
