@@ -135,6 +135,7 @@ from .ops.textures import (
 
 from .core.engine import (
     generate,
+    generate_mesh,
     save,
     sample_slice,
     show_slice,

@@ -364,11 +364,20 @@ def generate(
     checkpoint=None,
     use_pallas=None,
     debug=False,
+    output="points",
 ):
     """Sample the SDF on a dense grid and mesh it (ref sdf/core.py:84-150).
 
     Returns a flat (3*T, 3) float64 array of world-space vertices, three
-    consecutive rows per triangle.  ``workers`` is accepted for
+    consecutive rows per triangle.  ``output="mesh"`` instead returns the
+    INDEXED mesh ``(verts (V, 3) float64, faces (T, 3) int32)`` the
+    device emitted: one vertex per unique crossing edge, every vertex
+    referenced, no host dedup pass -- the soup equals
+    ``verts[faces.reshape(-1)]`` bit-for-bit.  On multi-device meshes
+    and the tiled path, vertices on shard/tile boundary planes stay
+    duplicated (once per side); ``debug=True`` marker boxes are
+    soup-only, so that combination dedups the soup on the host.
+    ``workers`` is accepted for
     compatibility; parallelism is the device mesh, not a thread pool:
     pass ``mesh=`` (a 1D ``jax.sharding.Mesh``) to shard the grid over
     devices, or leave it None to auto-shard when >1 device is visible.
@@ -395,6 +404,14 @@ def generate(
     start = time.time()
     dtype = dtype or jnp.float32
     stats = {}
+    if output not in ("points", "mesh"):
+        raise ValueError("output must be 'points' or 'mesh', got %r" % output)
+    if output == "mesh" and checkpoint is not None:
+        raise ValueError("output='mesh' does not support checkpoint=")
+    # Every mesh path emits native indexed output; debug boxes are
+    # soup-only, so that combination dedups the soup instead.
+    want_indexed = output == "mesh" and not debug
+    indexed = None
 
     if workers is not None:
         import warnings
@@ -450,6 +467,11 @@ def generate(
 
     if len(X) < 2 or len(Y) < 2 or len(Z) < 2:
         bar.done()
+        if output == "mesh":
+            return (
+                np.zeros((0, 3), dtype=np.float64),
+                np.zeros((0, 3), dtype=np.int32),
+            )
         return np.zeros((0, 3), dtype=np.float64)
 
     sdf_c = cast(sdf, dtype)
@@ -494,7 +516,8 @@ def generate(
 
             with _phase("sparse_tiles_sharded", stats):
                 verts, per_tile = psparse.mesh_sparse_tiles_sharded(
-                    sdf_c, X, Y, Z, skip, s, mesh, dtype
+                    sdf_c, X, Y, Z, skip, s, mesh, dtype,
+                    return_indexed=want_indexed,
                 )
         else:
             from ..parallel import grid as pgrid
@@ -512,6 +535,7 @@ def generate(
                         verts, per_tile = pgrid.mesh_and_march(
                             sdf_c, X, Y, Z, skip, s, mesh, dtype,
                             use_pallas=True, interpret=(backend != "tpu"),
+                            return_indexed=want_indexed,
                         )
                     except Exception:
                         # use_pallas=True means REQUIRED: surface failures.
@@ -521,12 +545,16 @@ def generate(
                             _PALLAS_BROKEN.clear()
                         _PALLAS_BROKEN.add(key)
                         verts, per_tile = pgrid.mesh_and_march(
-                            sdf_c, X, Y, Z, skip, s, mesh, dtype
+                            sdf_c, X, Y, Z, skip, s, mesh, dtype,
+                            return_indexed=want_indexed,
                         )
                 else:
                     verts, per_tile = pgrid.mesh_and_march(
-                        sdf_c, X, Y, Z, skip, s, mesh, dtype
+                        sdf_c, X, Y, Z, skip, s, mesh, dtype,
+                        return_indexed=want_indexed,
                     )
+        if want_indexed:
+            indexed, verts = verts, None
         bar.update(num_batches * 0.8)
     elif sparse == "tiles":
         # Tiled sparse pipeline: evaluate only the tiles the probe cull
@@ -551,6 +579,7 @@ def generate(
                     verts, per_tile = sparse_mod.mesh_sparse_tiles(
                         sdf_c, X, Y, Z, skip, s, dtype,
                         use_pallas=True, interpret=(backend != "tpu"),
+                        return_indexed=want_indexed,
                     )
                 except Exception:
                     if use_pallas is True:
@@ -559,12 +588,16 @@ def generate(
                         _PALLAS_BROKEN.clear()
                     _PALLAS_BROKEN.add(key)
                     verts, per_tile = sparse_mod.mesh_sparse_tiles(
-                        sdf_c, X, Y, Z, skip, s, dtype
+                        sdf_c, X, Y, Z, skip, s, dtype,
+                        return_indexed=want_indexed,
                     )
             else:
                 verts, per_tile = sparse_mod.mesh_sparse_tiles(
-                    sdf_c, X, Y, Z, skip, s, dtype
+                    sdf_c, X, Y, Z, skip, s, dtype,
+                    return_indexed=want_indexed,
                 )
+        if want_indexed:
+            indexed, verts = verts, None
         bar.update(num_batches * 0.8)
     else:
         backend = jax.default_backend()
@@ -644,12 +677,20 @@ def generate(
             n = int(n_tris)
             with _phase("d2h", stats):
                 vh = np.asarray(everts[:, :ne], dtype=np.float64).T  # (ne, 3)
-                fh = np.asarray(faces[:, :n])  # (3, n) int32
-            verts = vh[fh.T.reshape(-1)]
+                fh = np.asarray(faces[:, :n]).T  # (n, 3) int32
+            if want_indexed:
+                indexed, verts = (vh, fh), None
+            else:
+                verts = vh[fh.reshape(-1)]
 
     scale = np.array([dx, dy, dz])
     offset = np.array([X[0], Y[0], Z[0]])
-    points = verts.reshape(-1, 3) * scale + offset
+    if indexed is not None:
+        mverts = indexed[0] * scale + offset
+        mfaces = indexed[1]
+        points = None
+    else:
+        points = verts.reshape(-1, 3) * scale + offset
     bar.done()
 
     if checkpoint is not None:
@@ -673,7 +714,7 @@ def generate(
         points = np.concatenate(
             [points, _debug_triangles(X, Y, Z, flagged, s)], axis=0
         )
-    triangles = len(points) // 3
+    triangles = len(mfaces) if points is None else len(points) // 3
     seconds = time.time() - start
     stats.update(
         batches=num_batches,
@@ -690,7 +731,26 @@ def generate(
         print("%d skipped, %d empty, %d nonempty" % (skipped, empty, nonempty))
         print("%d triangles in %g seconds" % (triangles, seconds))
 
+    if output == "mesh":
+        if points is not None:  # multi-device / debug fallback
+            from ..io import meshfmt
+
+            return meshfmt.dedup(points)
+        return mverts, mfaces
     return points
+
+
+def generate_mesh(sdf, *args, **kwargs):
+    """``generate`` returning an indexed mesh: ``(verts (V, 3) float64
+    world-space, faces (T, 3) int32)``.
+
+    The device's own indexed output on every path (one vertex per unique
+    crossing edge, every vertex referenced, no host dedup -- at a 2^26
+    grid that skips an np.unique over tens of millions of soup rows);
+    shard/tile boundary vertices are duplicated once per side.  The
+    equivalent soup is ``verts[faces.reshape(-1)]``.
+    """
+    return generate(sdf, *args, output="mesh", **kwargs)
 
 
 def save(path, sdf, *args, **kwargs):

@@ -175,29 +175,38 @@ _EDGE_ORIG = CORNER_OFFSETS[EDGE_CORNERS[:, 0]]  # (12, 3)
 _TF3 = np.maximum(TRI_TABLE, 0)
 
 
-def _tri_gid_pack(ny, nz, Sx, Sy):
-    """Per (case, slot): packed global-edge-id coefficients for the three
+def _gid_pack(strides, bases):
+    """Per (case, slot): packed edge-id coefficients for the three
     vertices, as one (256 * MAX_TRIS, 9) int32 row-gather table.
 
-    A vertex's global edge id is affine in its cell coordinates:
+    A vertex's edge id is affine in its cell coordinates:
     ``gid = cx * sx + cy * sy + cz + K`` where (sx, sy, K) depend only on
     the edge's axis and origin-corner offset -- constants per (case,
     slot, vertex) once the (static) grid dims are known, so the whole
-    table is a trace-time numpy constant.  Row layout:
+    table is a trace-time numpy constant.  ``strides[a] = (sx, sy)`` and
+    ``bases[a]`` give each axis' edge-grid layout.  Row layout:
     ``[sx0 sy0 K0 sx1 sy1 K1 sx2 sy2 K2]``.
     """
+    strides = np.asarray(strides)
+    bases = np.asarray(bases)
     ax = _EDGE_AXIS[_TF3]  # (256, MAX_TRIS, 3)
     o = _EDGE_ORIG[_TF3]  # (256, MAX_TRIS, 3, 3)
-    my = np.where(ax == 1, ny - 1, ny)
-    mz = np.where(ax == 2, nz - 1, nz)
-    base = np.where(ax == 0, 0, np.where(ax == 1, Sx, Sx + Sy))
-    sx = my * mz
-    sy = mz
-    k = base + o[..., 0] * sx + o[..., 1] * sy + o[..., 2]
+    sx = strides[ax, 0]
+    sy = strides[ax, 1]
+    k = bases[ax] + o[..., 0] * sx + o[..., 1] * sy + o[..., 2]
     return (
         np.stack([sx, sy, k], axis=-1)
         .reshape(256 * MAX_TRIS_PER_CELL, 9)
         .astype(np.int32)
+    )
+
+
+def _tri_gid_pack(ny, nz, Sx, Sy):
+    """Dense-grid instance of ``_gid_pack`` (x/y/z edge blocks of a full
+    (nx, ny, nz) sample grid, flattened back to back)."""
+    return _gid_pack(
+        [(ny * nz, nz), ((ny - 1) * nz, nz), (ny * (nz - 1), nz - 1)],
+        [0, Sx, Sx + Sy],
     )
 
 

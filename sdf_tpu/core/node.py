@@ -235,6 +235,12 @@ class SDF3(_Node):
 
         return engine.generate(self, *args, **kwargs)
 
+    def generate_mesh(self, *args, **kwargs):
+        """Indexed-mesh variant of generate(): (verts (V, 3), faces (T, 3))."""
+        from . import engine
+
+        return engine.generate_mesh(self, *args, **kwargs)
+
     def save(self, path, *args, **kwargs):
         from . import engine
 

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from . import compact
+from . import compact, mc
 from .mc_tables import CORNER_OFFSETS, NTRI_TABLE
 from .mc import MAX_TRIS_PER_CELL, interpolate_slots, round_capacity
 from .node import Points
@@ -75,6 +75,42 @@ def _cell_valid(tiles, live, cshape, tile):
     return m & live[:, None, None, None]
 
 
+def _tile_edge_mask(vols, active, tile):
+    """(ntc, 3 * tile * TS^2) bool: per-tile local active-edge mask.
+
+    Within each tile: sign-crossing AND adjacent to an active cell (same
+    rule as mc._edge_mask, tile-locally).  An edge on a face shared by
+    two active tiles appears in both -- those vertices stay duplicated
+    (like slab boundaries in the sharded path); within a tile they dedup.
+    Layout per tile: [x-edge block | y | z], each block row-major over
+    its (tile, TS, TS)/(TS, tile, TS)/(TS, TS, tile) edge grid.
+    """
+    TS = tile + 1
+    sign = vols < 0
+
+    def adj(a, axes):
+        pads = [(0, 0)] * 4
+        for ax in axes:
+            pads[ax] = (1, 1)
+        b = jnp.pad(a, pads)
+        for ax in axes:
+            lo = [slice(None)] * 4
+            hi = [slice(None)] * 4
+            lo[ax] = slice(0, b.shape[ax] - 1)
+            hi[ax] = slice(1, None)
+            b = b[tuple(lo)] | b[tuple(hi)]
+        return b
+
+    ntc = vols.shape[0]
+    ex = (sign[:, :-1] != sign[:, 1:]) & adj(active, (2, 3))
+    ey = (sign[:, :, :-1] != sign[:, :, 1:]) & adj(active, (1, 3))
+    ez = (sign[:, :, :, :-1] != sign[:, :, :, 1:]) & adj(active, (1, 2))
+    return jnp.concatenate(
+        [ex.reshape(ntc, -1), ey.reshape(ntc, -1), ez.reshape(ntc, -1)],
+        axis=1,
+    )
+
+
 @partial(jax.jit, static_argnames=("cshape", "tile"))
 def _count_tiles(vols, tiles, live, cshape, tile, case=None):
     if case is None:
@@ -83,7 +119,9 @@ def _count_tiles(vols, tiles, live, cshape, tile, case=None):
     ntri = jnp.asarray(NTRI_TABLE)[case] * valid.astype(jnp.int32)
     per_tile = ntri.sum(axis=(1, 2, 3))
     ncell = jnp.sum((ntri > 0).astype(jnp.int32))
-    return jnp.sum(ntri), per_tile, ncell, case
+    emask = _tile_edge_mask(vols, ntri > 0, tile)
+    nedge = jnp.sum(emask.astype(jnp.int32))
+    return jnp.sum(ntri), per_tile, ncell, case, nedge, emask
 
 
 @partial(
@@ -130,6 +168,122 @@ def _emit_tiles(vols, tiles, live, case, cshape, capacity, cell_capacity, tile):
     )
 
 
+@partial(
+    jax.jit,
+    static_argnames=("cshape", "edge_capacity", "capacity", "cell_capacity",
+                     "tile"),
+)
+def _emit_tiles_indexed(vols, tiles, live, case, emask, cshape,
+                        edge_capacity, capacity, cell_capacity, tile):
+    """Tile-local indexed marching cubes: unique per-edge vertices (3,
+    edge_capacity) in global fractional index coords + int32 faces (3,
+    capacity) + triangle count.
+
+    The tile analog of mc.emit_indexed: edge ids live in per-tile local
+    edge grids (``tid * Stile + axis block + row-major local``), so
+    vertices dedup within a tile and stay duplicated across tile
+    boundaries (~10% of vertices at tile=32).  Reconstructing
+    ``everts.T[faces.T.reshape(-1)]`` yields exactly ``_emit_tiles``'s
+    soup.  Assumes ntc * Stile < 2^31 (grids to ~2^28 samples at
+    tile=32).
+    """
+    TS = tile + 1
+    Sblk = tile * TS * TS  # one axis' edge block per tile
+    Stile = 3 * Sblk
+    dt = vols.dtype
+    valid = _cell_valid(tiles, live, cshape, tile)
+    ntri = jnp.asarray(NTRI_TABLE)[case] * valid.astype(jnp.int32)
+
+    active = (ntri > 0).reshape(-1)
+    cell_idx = compact.indices_of(active, cell_capacity)
+    n_cells = jnp.sum(active.astype(jnp.int32))
+    cell_live = jnp.arange(cell_capacity) < n_cells
+
+    t_of = cell_idx // (tile * tile * tile)
+    local = cell_idx % (tile * tile * tile)
+    li, rem = local // (tile * tile), local % (tile * tile)
+    lj, lk = rem // tile, rem % tile
+    cell_case = case.reshape(-1)[cell_idx]
+    cell_ntri = jnp.where(cell_live, ntri.reshape(-1)[cell_idx], 0)
+
+    # --- one vertex per tile-local active edge ------------------------
+    emf = emask.reshape(-1)
+    eidx = compact.indices_of(emf, edge_capacity)
+    tid = eidx // Stile
+    block = eidx % Stile
+    a = block // Sblk
+    le = block % Sblk  # the three axis blocks are equal-sized
+
+    def dec(l, d1, d2):  # row-major (d0, d1, d2) decode, constant divisors
+        return l // (d1 * d2), (l // d2) % d1, l % d2
+
+    e0 = dec(le, TS, TS)  # x-edges: (tile, TS, TS)
+    e1 = dec(le, tile, TS)  # y-edges: (TS, tile, TS)
+    e2 = dec(le, TS, tile)  # z-edges: (TS, TS, tile)
+
+    def pick(i):
+        return jnp.where(a == 0, e0[i], jnp.where(a == 1, e1[i], e2[i]))
+
+    x, y, z = pick(0), pick(1), pick(2)
+    vflat = vols.reshape(-1)
+    vlin = ((tid * TS + x) * TS + y) * TS + z
+    stride = jnp.where(a == 0, TS * TS, jnp.where(a == 1, TS, 1))
+    va = vflat[vlin]
+    vb = vflat[vlin + stride]
+    denom = va - vb
+    # Same zero-crossing formula as interpolate_slots, term for term.
+    t = jnp.clip(va / jnp.where(denom == 0, 1.0, denom), 0.0, 1.0)
+    trow = tiles[tid]  # (edge_capacity, 3) row gather
+    everts = jnp.stack(
+        [
+            (trow[:, 0] * tile + x).astype(dt) + t * (a == 0).astype(dt),
+            (trow[:, 1] * tile + y).astype(dt) + t * (a == 1).astype(dt),
+            (trow[:, 2] * tile + z).astype(dt) + t * (a == 2).astype(dt),
+        ],
+        axis=0,
+    )
+
+    inv = compact.ranks_of(emf)
+
+    # --- tri-major face resolution (see mc.emit_indexed) --------------
+    slot_valid = (
+        jax.lax.broadcasted_iota(jnp.int32, (cell_capacity, MAX_TRIS_PER_CELL), 1)
+        < cell_ntri[:, None]
+    ).reshape(-1)
+    tri_idx = compact.indices_of(slot_valid, capacity)
+    n_tris = jnp.sum(slot_valid.astype(jnp.int32))
+    ctri = tri_idx // MAX_TRIS_PER_CELL
+    slot = tri_idx % MAX_TRIS_PER_CELL
+
+    cellpack = jnp.concatenate([t_of, li, lj, lk, cell_case])
+    cd = cellpack[
+        jnp.concatenate([ctri + i * cell_capacity for i in range(5)])
+    ]
+    tt = cd[:capacity]
+    cx = cd[capacity : 2 * capacity]
+    cy = cd[2 * capacity : 3 * capacity]
+    cz = cd[3 * capacity : 4 * capacity]
+    case_t = cd[4 * capacity :]
+
+    tep = jnp.asarray(
+        mc._gid_pack(
+            [(TS * TS, TS), (tile * TS, TS), (TS * tile, tile)],
+            [0, Sblk, 2 * Sblk],
+        )
+    )
+    row = tep[case_t * MAX_TRIS_PER_CELL + slot]  # (capacity, 9)
+    gids = [
+        tt * Stile
+        + cx * row[:, 3 * v]
+        + cy * row[:, 3 * v + 1]
+        + cz
+        + row[:, 3 * v + 2]
+        for v in range(3)
+    ]
+    faces = inv[jnp.concatenate(gids)].reshape(3, capacity)
+    return everts, faces, n_tris
+
+
 @partial(jax.jit, static_argnames=("ntc", "tile", "interpret"))
 def _eval_tiles_pallas(sdf, Xp, Yp, Zp, tiles, ntc, tile, interpret):
     """Fused Pallas per-tile eval + classify (see pallas_eval)."""
@@ -141,26 +295,32 @@ def _eval_tiles_pallas(sdf, Xp, Yp, Zp, tiles, ntc, tile, interpret):
 
 
 def mesh_sparse_tiles(sdf_c, X, Y, Z, skip, tile, dtype, chunk_tiles=128,
-                      use_pallas=False, interpret=False):
+                      use_pallas=False, interpret=False,
+                      return_indexed=False):
     """Tiled sparse pipeline: eval + marching cubes on active tiles only.
 
     Returns (verts (3T, 3) float64 in fractional index coords,
-    per_tile_counts (tx, ty, tz)).  ``skip`` is the probe-cull mask from
-    the engine (True = culled) at ``tile`` (= engine batch_size) cells
-    per tile per axis.  ``use_pallas=True`` fuses per-tile evaluation and
-    cell classification into one Pallas kernel (raises if the expression
-    does not lower; the engine handles fallback).
+    per_tile_counts (tx, ty, tz)) -- or, with ``return_indexed=True``,
+    ``((everts (V, 3), faces (T, 3) int32), per_tile_counts)`` with the
+    indexed mesh the device emitted (soup == everts[faces.reshape(-1)]).
+    ``skip`` is the probe-cull mask from the engine (True = culled) at
+    ``tile`` (= engine batch_size) cells per tile per axis.
+    ``use_pallas=True`` fuses per-tile evaluation and cell classification
+    into one Pallas kernel (raises if the expression does not lower; the
+    engine handles fallback).
     """
     nx, ny, nz = len(X), len(Y), len(Z)
     cshape = (nx - 1, ny - 1, nz - 1)
+
+    def empty(pt):
+        v = np.zeros((0, 3), dtype=np.float64)
+        return ((v, np.zeros((0, 3), np.int32)) if return_indexed else v), pt
 
     keep = ~skip
     active = np.argwhere(keep)  # (nt, 3) host, x-major order
     nt = len(active)
     if nt == 0:
-        return np.zeros((0, 3), dtype=np.float64), np.zeros(
-            skip.shape, dtype=np.int64
-        )
+        return empty(np.zeros(skip.shape, dtype=np.int64))
     ntc = round_capacity(nt)
     tiles = np.zeros((ntc, 3), dtype=np.int32)
     tiles[:nt] = active
@@ -186,28 +346,36 @@ def mesh_sparse_tiles(sdf_c, X, Y, Z, skip, tile, dtype, chunk_tiles=128,
             sdf_c, padf(Xd), padf(Yd), padf(Zd), tiles_d, ntc, tile,
             interpret,
         )
-        total, per_tile, ncell, case = _count_tiles(
+        total, per_tile, ncell, case, nedge, emask = _count_tiles(
             vols, tiles_d, live_d, cshape, tile, case
         )
     else:
         vols = _eval_tiles(sdf_c, Xd, Yd, Zd, tiles_d, ntc, chunk_tiles, tile)
-        total, per_tile, ncell, case = _count_tiles(
+        total, per_tile, ncell, case, nedge, emask = _count_tiles(
             vols, tiles_d, live_d, cshape, tile
         )
-    n = int(total)
+    # One round trip for all three capacity counts.
+    n, ncl, ne = (int(v) for v in jax.device_get((total, ncell, nedge)))
 
     pt = np.zeros(skip.shape, dtype=np.int64)
     per_tile_np = np.asarray(per_tile)[:nt]
     pt[tuple(active.T)] = per_tile_np
 
     if n == 0:
-        return np.zeros((0, 3), dtype=np.float64), pt
+        return empty(pt)
 
     capacity = round_capacity(n)
-    cell_capacity = round_capacity(int(ncell))
-    verts9, n_tris = _emit_tiles(
-        vols, tiles_d, live_d, case, cshape, capacity, cell_capacity, tile
+    cell_capacity = round_capacity(ncl)
+    edge_capacity = round_capacity(ne)
+    everts, faces, n_tris = _emit_tiles_indexed(
+        vols, tiles_d, live_d, case, emask, cshape, edge_capacity, capacity,
+        cell_capacity, tile,
     )
     n = int(n_tris)
-    verts = np.asarray(verts9[:, :n], dtype=np.float64).T.reshape(-1, 3)
-    return verts, pt
+    # Indexed readback (half the soup bytes), soup reconstructed on host
+    # bit-identically to _emit_tiles (see _emit_tiles_indexed).
+    vh = np.asarray(everts[:, :ne], dtype=np.float64).T  # (ne, 3)
+    fh = np.asarray(faces[:, :n]).T  # (n, 3) int32
+    if return_indexed:
+        return (vh, fh), pt
+    return vh[fh.reshape(-1)], pt

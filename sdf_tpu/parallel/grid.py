@@ -207,7 +207,8 @@ def _phase_emit(vol, case, emask, keep_xy, mesh, c, ncz, tile, edge_capacity,
 
 
 def mesh_and_march(sdf_c, X, Y, Z, skip, tile, mesh, dtype,
-                   chunk_points=2**22, use_pallas=False, interpret=False):
+                   chunk_points=2**22, use_pallas=False, interpret=False,
+                   return_indexed=False):
     """Sharded volume eval + marching cubes over a device mesh.
 
     sdf_c: dtype-cast SDF expression pytree.  X/Y/Z: host float64 grid axis
@@ -215,7 +216,13 @@ def mesh_and_march(sdf_c, X, Y, Z, skip, tile, mesh, dtype,
     (tx, ty, tz) bool per-tile skip mask (True = cull), from the
     reference-parity probe test.  Returns (verts, per_tile): verts is a
     host float64 (3*T, 3) array of vertices in fractional index
-    coordinates; per_tile the global per-tile triangle counts.
+    coordinates; per_tile the global per-tile triangle counts.  With
+    ``return_indexed=True`` the first element is instead the indexed mesh
+    ``(everts (V, 3) float64, faces (T, 3) int32)`` -- the per-slab
+    indexed outputs concatenated with vertex offsets, so vertices on
+    slab-boundary planes stay duplicated (once per adjacent slab) but
+    every vertex is referenced and the soup equals
+    ``everts[faces.reshape(-1)]``.
     """
     ndev = mesh.devices.size
     nx, ny, nz = len(X), len(Y), len(Z)
@@ -251,7 +258,9 @@ def mesh_and_march(sdf_c, X, Y, Z, skip, tile, mesh, dtype,
     nmax = int(gmax_t)
 
     if nmax == 0:
-        return np.zeros((0, 3), dtype=np.float64), np.asarray(per_tile)
+        v = np.zeros((0, 3), dtype=np.float64)
+        out = (v, np.zeros((0, 3), np.int32)) if return_indexed else v
+        return out, np.asarray(per_tile)
 
     capacity = mc.round_capacity(nmax)
     cell_capacity = mc.round_capacity(int(gmax_c))
@@ -279,13 +288,28 @@ def mesh_and_march(sdf_c, X, Y, Z, skip, tile, mesh, dtype,
         i = s.index[0].start or 0
         v = np.asarray(s.data, dtype=np.float64)[0]  # (3, edge_capacity)
         vparts[i] = v[:, : nedge[i]].T  # (ne_i, 3)
-    parts = []
-    for s in sorted(
+    order = sorted(
         faces.addressable_shards, key=lambda s: s.index[0].start or 0
-    ):
+    )
+    fparts = {}
+    for s in order:
         i = s.index[0].start or 0
-        fh = np.asarray(s.data)[0][:, : cnt[i]]  # (3, n_i) int32
-        parts.append(vparts[i][fh.T.reshape(-1)])
+        fparts[i] = np.asarray(s.data)[0][:, : cnt[i]].T  # (n_i, 3) int32
+    keys = [s.index[0].start or 0 for s in order]
+    if return_indexed:
+        offs = np.cumsum([0] + [len(vparts[i]) for i in keys[:-1]])
+        everts_h = (
+            np.concatenate([vparts[i] for i in keys], axis=0)
+            if keys else np.zeros((0, 3), np.float64)
+        )
+        faces_h = (
+            np.concatenate(
+                [fparts[i] + o for i, o in zip(keys, offs)], axis=0
+            ).astype(np.int32)
+            if keys else np.zeros((0, 3), np.int32)
+        )
+        return (everts_h, faces_h), np.asarray(per_tile)
+    parts = [vparts[i][fparts[i].reshape(-1)] for i in keys]
     out = (
         np.concatenate(parts, axis=0)
         if parts

@@ -35,22 +35,24 @@ def _phase_count(sdf, X, Y, Z, tiles, live, mesh, cshape, tile, tpd, chunk):
     def body(X, Y, Z, tiles, live):
         # blocks arrive per-device: tiles (tpd, 3), live (tpd,)
         vols = core_sparse._eval_tiles(sdf, X, Y, Z, tiles, tpd, chunk, tile)
-        total, per_tile, ncell, case = core_sparse._count_tiles(
+        total, per_tile, ncell, case, nedge, emask = core_sparse._count_tiles(
             vols, tiles, live, cshape, tile
         )
         gmax_t = jax.lax.pmax(total, AXIS)
         gmax_c = jax.lax.pmax(ncell, AXIS)
+        gmax_e = jax.lax.pmax(nedge, AXIS)
         # All-gather the per-tile counts so every HOST can assemble the
         # full stats grid (addressable shards alone would be partial on
         # a multi-host mesh).
         per_tile_all = jax.lax.all_gather(per_tile, AXIS)  # (ndev, tpd)
-        return vols, case, per_tile_all, gmax_t, gmax_c
+        return (vols, case, emask, nedge[None], per_tile_all, gmax_t,
+                gmax_c, gmax_e)
 
     return jax.shard_map(
         body,
         mesh=mesh,
         in_specs=(P(), P(), P(), P(AXIS), P(AXIS)),
-        out_specs=(P(AXIS), P(AXIS), P(), P(), P()),
+        out_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(), P(), P(), P()),
         # the vma checker cannot infer all_gather's output replication
         check_vma=False,
     )(X, Y, Z, tiles, live)
@@ -58,32 +60,35 @@ def _phase_count(sdf, X, Y, Z, tiles, live, mesh, cshape, tile, tpd, chunk):
 
 @partial(
     jax.jit,
-    static_argnames=("mesh", "cshape", "tile", "capacity", "cell_capacity"),
+    static_argnames=("mesh", "cshape", "tile", "edge_capacity", "capacity",
+                     "cell_capacity"),
 )
-def _phase_emit(vols, case, tiles, live, mesh, cshape, tile, capacity,
-                cell_capacity):
-    def body(vols, case, tiles, live):
-        verts, n = core_sparse._emit_tiles(
-            vols, tiles, live, case, cshape, capacity, cell_capacity, tile
+def _phase_emit(vols, case, emask, tiles, live, mesh, cshape, tile,
+                edge_capacity, capacity, cell_capacity):
+    def body(vols, case, emask, tiles, live):
+        everts, faces, n = core_sparse._emit_tiles_indexed(
+            vols, tiles, live, case, emask, cshape, edge_capacity, capacity,
+            cell_capacity, tile,
         )
-        return verts[None], n[None]
+        return everts[None], faces[None], n[None]
 
     return jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
-        out_specs=(P(AXIS), P(AXIS)),
-    )(vols, case, tiles, live)
+        in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
+        out_specs=(P(AXIS), P(AXIS), P(AXIS)),
+    )(vols, case, emask, tiles, live)
 
 
 def mesh_sparse_tiles_sharded(sdf_c, X, Y, Z, skip, tile, mesh, dtype,
-                              chunk_tiles=128):
+                              chunk_tiles=128, return_indexed=False):
     """Sharded tiled-sparse pipeline over a device mesh.
 
-    Same inputs/outputs as core.sparse.mesh_sparse_tiles, with one
-    difference: triangle ORDER is device-major over the round-robin tile
-    assignment, not the single-device path's x-major tile order (compare
-    as sets).  On a multi-host mesh each host returns its local soup
+    Same inputs/outputs as core.sparse.mesh_sparse_tiles (incl.
+    ``return_indexed``), with one difference: triangle ORDER is
+    device-major over the round-robin tile assignment, not the
+    single-device path's x-major tile order (compare as sets).  On a
+    multi-host mesh each host returns its local soup/indexed mesh
     (assemble with parallel.gather_triangles); per-tile stats are global
     on every host.
     """
@@ -91,12 +96,14 @@ def mesh_sparse_tiles_sharded(sdf_c, X, Y, Z, skip, tile, mesh, dtype,
     nx, ny, nz = len(X), len(Y), len(Z)
     cshape = (nx - 1, ny - 1, nz - 1)
 
+    def empty(pt):
+        v = np.zeros((0, 3), dtype=np.float64)
+        return ((v, np.zeros((0, 3), np.int32)) if return_indexed else v), pt
+
     active = np.argwhere(~skip)  # (nt, 3) x-major
     nt = len(active)
     if nt == 0:
-        return np.zeros((0, 3), dtype=np.float64), np.zeros(
-            skip.shape, dtype=np.int64
-        )
+        return empty(np.zeros(skip.shape, dtype=np.int64))
     # Pad to a power-of-two per-device tile count: tpd is a static shape,
     # so pow2 rounding keeps executable reuse as the active-tile count
     # drifts between runs.
@@ -118,9 +125,11 @@ def mesh_sparse_tiles_sharded(sdf_c, X, Y, Z, skip, tile, mesh, dtype,
     tiles_d = jnp.asarray(tiles)
     live_d = jnp.asarray(live)
 
-    vols, case, per_tile, gmax_t, gmax_c = _phase_count(
-        sdf_c, Xd, Yd, Zd, tiles_d, live_d, mesh, cshape, tile, tpd,
-        chunk_tiles,
+    vols, case, emask, nedges, per_tile, gmax_t, gmax_c, gmax_e = (
+        _phase_count(
+            sdf_c, Xd, Yd, Zd, tiles_d, live_d, mesh, cshape, tile, tpd,
+            chunk_tiles,
+        )
     )
     nmax = int(gmax_t)
 
@@ -130,24 +139,54 @@ def mesh_sparse_tiles_sharded(sdf_c, X, Y, Z, skip, tile, mesh, dtype,
     pt[tuple(tiles[live].T)] = counts_all[live]
 
     if nmax == 0:
-        return np.zeros((0, 3), dtype=np.float64), pt
+        return empty(pt)
 
     capacity = mc.round_capacity(nmax)
     cell_capacity = mc.round_capacity(int(gmax_c))
-    verts, counts = _phase_emit(
-        vols, case, tiles_d, live_d, mesh, cshape, tile, capacity,
-        cell_capacity,
+    edge_capacity = mc.round_capacity(int(gmax_e))
+    everts, faces, counts = _phase_emit(
+        vols, case, emask, tiles_d, live_d, mesh, cshape, tile,
+        edge_capacity, capacity, cell_capacity,
     )
-    cnt = {}
-    for s in counts.addressable_shards:
-        cnt[s.index[0].start or 0] = int(np.asarray(s.data)[0])
-    parts = []
-    for s in sorted(
-        verts.addressable_shards, key=lambda s: s.index[0].start or 0
-    ):
+
+    # Per-shard indexed readback (half the soup bytes); each shard's soup
+    # is reconstructed bit-identically to _emit_tiles's (device-major
+    # order unchanged).
+    def shard_scalar(arr):
+        out = {}
+        for s in arr.addressable_shards:
+            out[s.index[0].start or 0] = int(np.asarray(s.data)[0])
+        return out
+
+    cnt = shard_scalar(counts)
+    nedge = shard_scalar(nedges)
+    vparts = {}
+    for s in everts.addressable_shards:
         i = s.index[0].start or 0
-        v = np.asarray(s.data, dtype=np.float64)[0]  # (9, capacity)
-        parts.append(v[:, : cnt[i]].T.reshape(-1, 3))
+        v = np.asarray(s.data, dtype=np.float64)[0]  # (3, edge_capacity)
+        vparts[i] = v[:, : nedge[i]].T
+    order = sorted(
+        faces.addressable_shards, key=lambda s: s.index[0].start or 0
+    )
+    fparts = {}
+    for s in order:
+        i = s.index[0].start or 0
+        fparts[i] = np.asarray(s.data)[0][:, : cnt[i]].T  # (n_i, 3) int32
+    keys = [s.index[0].start or 0 for s in order]
+    if return_indexed:
+        offs = np.cumsum([0] + [len(vparts[i]) for i in keys[:-1]])
+        everts_h = (
+            np.concatenate([vparts[i] for i in keys], axis=0)
+            if keys else np.zeros((0, 3), np.float64)
+        )
+        faces_h = (
+            np.concatenate(
+                [fparts[i] + o for i, o in zip(keys, offs)], axis=0
+            ).astype(np.int32)
+            if keys else np.zeros((0, 3), np.int32)
+        )
+        return (everts_h, faces_h), pt
+    parts = [vparts[i][fparts[i].reshape(-1)] for i in keys]
     out = (
         np.concatenate(parts, axis=0)
         if parts

@@ -232,3 +232,80 @@ def test_ranks_kernel_matches_cumsum():
         got = compact.ranks_of_pallas(m, interpret=True)
         ref = jnp.cumsum(m.astype(jnp.int32)) - 1
         np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_tiles_indexed_emit_matches_soup_exactly():
+    """The tiled indexed emit must reconstruct _emit_tiles's soup
+    bit-for-bit (per-tile local edge dedup, global coords)."""
+    import jax.numpy as jnp
+    from sdf_tpu.core import sparse as sp
+
+    vol_np, lin = _sphere_volume(n=25)
+    nx = len(lin)
+    cshape = (nx - 1, nx - 1, nx - 1)
+    tile = 8
+    ntx = -(-cshape[0] // tile)
+    active = np.argwhere(np.ones((ntx, ntx, ntx), dtype=bool))
+    nt = len(active)
+    ntc = mc.round_capacity(nt)
+    tiles = np.zeros((ntc, 3), dtype=np.int32)
+    tiles[:nt] = active
+    live = np.zeros((ntc,), dtype=bool)
+    live[:nt] = True
+
+    # Per-tile (tile+1)^3 volumes sampled from the dense field, with the
+    # same edge clamping as _eval_tiles.
+    TS = tile + 1
+    ar = np.arange(TS)
+    vols = np.zeros((ntc, TS, TS, TS), dtype=np.float32)
+    for t in range(nt):
+        ix = np.clip(active[t][0] * tile + ar, 0, nx - 1)
+        iy = np.clip(active[t][1] * tile + ar, 0, nx - 1)
+        iz = np.clip(active[t][2] * tile + ar, 0, nx - 1)
+        vols[t] = vol_np[np.ix_(ix, iy, iz)]
+    vols = jnp.asarray(vols)
+    tiles_d, live_d = jnp.asarray(tiles), jnp.asarray(live)
+
+    total, per_tile, ncell, case, nedge, emask = sp._count_tiles(
+        vols, tiles_d, live_d, cshape, tile
+    )
+    n, ncl, ne = int(total), int(ncell), int(nedge)
+    cap, ccap, ecap = (mc.round_capacity(v) for v in (n, ncl, ne))
+
+    verts9, n_tris = sp._emit_tiles(
+        vols, tiles_d, live_d, case, cshape, cap, ccap, tile
+    )
+    nt_old = int(n_tris)
+    soup = np.asarray(verts9[:, :nt_old]).T.reshape(-1, 3)
+
+    everts, faces, n_tris2 = sp._emit_tiles_indexed(
+        vols, tiles_d, live_d, case, emask, cshape, ecap, cap, ccap, tile
+    )
+    assert int(n_tris2) == nt_old == n
+    vh = np.asarray(everts[:, :ne]).T
+    fh = np.asarray(faces[:, :nt_old])
+    assert fh.min() >= 0 and fh.max() < ne
+    np.testing.assert_array_equal(vh[fh.T.reshape(-1)], soup)
+    assert ne < 3 * nt_old  # dedup happened within tiles
+
+
+def test_generate_mesh_matches_soup():
+    """generate(output='mesh') / generate_mesh must return an indexed mesh
+    whose reconstructed soup equals generate()'s points exactly, on both
+    the dense and tiled paths, with every vertex referenced."""
+    import sdf_tpu as stp
+
+    f = stp.sphere(1) & stp.box(1.5)
+    for kw in ({}, {"sparse": "tiles"}):
+        pts = f.generate(samples=2**15, verbose=False, **kw)
+        verts, faces = f.generate_mesh(samples=2**15, verbose=False, **kw)
+        assert faces.dtype == np.int32 and faces.shape[1] == 3
+        assert faces.min() >= 0 and faces.max() < len(verts)
+        np.testing.assert_array_equal(verts[faces.reshape(-1)], pts)
+        # native indexed output: every vertex referenced, real dedup
+        assert len(np.unique(faces)) == len(verts)
+        assert len(verts) < len(pts)
+
+    # checkpoint is soup-only
+    with pytest.raises(ValueError):
+        f.generate(samples=2**12, output="mesh", checkpoint="/tmp/x.ckpt")
