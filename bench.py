@@ -9,7 +9,7 @@ each phase fenced with a tiny device-to-host read (block_until_ready does
 not reliably fence through a tunneled TPU runtime, and per-call timings
 otherwise measure dispatch):
 
-  eval_ms / classify+count / gather / emit  -- device-side phases
+  eval_ms / count / gather_emit             -- device-side phases
   d2h_ms, d2h_mb                            -- indexed-mesh readback
                                                (unique verts + faces),
                                                reported separately
@@ -85,26 +85,24 @@ def main():
     pts_per_s = n_points / t_eval
 
     # --- per-phase dense pipeline (each fenced) --------------------------
-    # Gather/emit use the indexed-mesh path generate() runs: unique
-    # per-edge vertices + int32 faces (half the readback bytes of the
-    # triangle soup; see mc.emit_indexed).
+    # Phases mirror generate()'s dense path: one counts dispatch (all
+    # static buffer sizes in one scalar round trip), one fused
+    # gather+emit dispatch producing the indexed mesh (unique per-edge
+    # vertices + int32 faces; see mc.count_indexed / gather_emit_indexed).
     cshape = (len(X) - 1, len(Y) - 1, len(Z) - 1)
     keep = jnp.ones(cshape, dtype=bool)
-    classify = jax.jit(lambda v, k: mc.active_count(mc._cell_cases(v), k))
-    t_cls, (ncells_dev, active) = _timed(classify, vol, keep)
-    n_cells = int(ncells_dev)
-    ccap = mc.round_capacity(n_cells)
     tshape = tuple(-(-c // s) for c in cshape)
-    t_gather, (total, per_tile, n_edges, cell_state, emask) = _timed(
-        lambda v, c, a: mc.gather_active_indexed(v, c, a, ccap, s, tshape),
-        vol, mc._cell_cases(vol), active,
+    case = jax.block_until_ready(jax.jit(mc._cell_cases)(vol))
+    t_cnt, (ncells_dev, total, n_edges, per_tile, active, emask) = _timed(
+        lambda v, c, k: mc.count_indexed(v, c, k, s, tshape), vol, case, keep
     )
-    n, ne = int(total), int(n_edges)
+    n_cells, n, ne = (int(v) for v in (ncells_dev, total, n_edges))
+    ccap = mc.round_capacity(n_cells)
     cap = mc.round_capacity(n)
     ecap = mc.round_capacity(ne)
-    t_emit, (everts, faces, n_tris) = _timed(
-        lambda v, m, st_: mc.emit_indexed(v, m, st_, ecap, cap, ccap),
-        vol, emask, cell_state,
+    t_emit, (everts, faces) = _timed(
+        lambda v, c, a, m: mc.gather_emit_indexed(v, c, a, m, ecap, cap, ccap),
+        vol, case, active, emask,
     )
 
     # --- mesh readback, reported separately (best of 3) ------------------
@@ -112,7 +110,7 @@ def main():
     for _ in range(3):
         t0 = time.perf_counter()
         vh = np.asarray(everts[:, :ne])
-        fh = np.asarray(faces[:, : int(n_tris)])
+        fh = np.asarray(faces[:, :n])
         t_d2h = min(t_d2h, time.perf_counter() - t0)
     mb = (vh.nbytes + fh.nbytes) / 1e6
 
@@ -132,11 +130,10 @@ def main():
                 "unit": "points/s",
                 "vs_baseline": pts_per_s / BASELINE_PTS_PER_S,
                 "eval_ms": round(t_eval * 1e3, 2),
-                "classify_count_ms": round(t_cls * 1e3, 2),
-                "gather_ms": round(t_gather * 1e3, 2),
-                "emit_ms": round(t_emit * 1e3, 2),
+                "count_ms": round(t_cnt * 1e3, 2),
+                "gather_emit_ms": round(t_emit * 1e3, 2),
                 "device_pipeline_ms": round(
-                    (t_eval + t_cls + t_gather + t_emit) * 1e3, 2
+                    (t_eval + t_cnt + t_emit) * 1e3, 2
                 ),
                 "d2h_ms": round(t_d2h * 1e3, 2),
                 "d2h_mb": round(mb, 2),

@@ -411,7 +411,6 @@ def generate(
     # Every mesh path emits native indexed output; debug boxes are
     # soup-only, so that combination dedups the soup instead.
     want_indexed = output == "mesh" and not debug
-    indexed = None
 
     if workers is not None:
         import warnings
@@ -517,7 +516,7 @@ def generate(
             with _phase("sparse_tiles_sharded", stats):
                 verts, per_tile = psparse.mesh_sparse_tiles_sharded(
                     sdf_c, X, Y, Z, skip, s, mesh, dtype,
-                    return_indexed=want_indexed,
+                    return_indexed=True,
                 )
         else:
             from ..parallel import grid as pgrid
@@ -535,7 +534,7 @@ def generate(
                         verts, per_tile = pgrid.mesh_and_march(
                             sdf_c, X, Y, Z, skip, s, mesh, dtype,
                             use_pallas=True, interpret=(backend != "tpu"),
-                            return_indexed=want_indexed,
+                            return_indexed=True,
                         )
                     except Exception:
                         # use_pallas=True means REQUIRED: surface failures.
@@ -546,15 +545,14 @@ def generate(
                         _PALLAS_BROKEN.add(key)
                         verts, per_tile = pgrid.mesh_and_march(
                             sdf_c, X, Y, Z, skip, s, mesh, dtype,
-                            return_indexed=want_indexed,
+                            return_indexed=True,
                         )
                 else:
                     verts, per_tile = pgrid.mesh_and_march(
                         sdf_c, X, Y, Z, skip, s, mesh, dtype,
-                        return_indexed=want_indexed,
+                        return_indexed=True,
                     )
-        if want_indexed:
-            indexed, verts = verts, None
+        indexed = verts
         bar.update(num_batches * 0.8)
     elif sparse == "tiles":
         # Tiled sparse pipeline: evaluate only the tiles the probe cull
@@ -579,7 +577,7 @@ def generate(
                     verts, per_tile = sparse_mod.mesh_sparse_tiles(
                         sdf_c, X, Y, Z, skip, s, dtype,
                         use_pallas=True, interpret=(backend != "tpu"),
-                        return_indexed=want_indexed,
+                        return_indexed=True,
                     )
                 except Exception:
                     if use_pallas is True:
@@ -589,15 +587,14 @@ def generate(
                     _PALLAS_BROKEN.add(key)
                     verts, per_tile = sparse_mod.mesh_sparse_tiles(
                         sdf_c, X, Y, Z, skip, s, dtype,
-                        return_indexed=want_indexed,
+                        return_indexed=True,
                     )
             else:
                 verts, per_tile = sparse_mod.mesh_sparse_tiles(
                     sdf_c, X, Y, Z, skip, s, dtype,
-                    return_indexed=want_indexed,
+                    return_indexed=True,
                 )
-        if want_indexed:
-            indexed, verts = verts, None
+        indexed = verts
         bar.update(num_batches * 0.8)
     else:
         backend = jax.default_backend()
@@ -636,19 +633,31 @@ def generate(
         cshape = (len(X) - 1, len(Y) - 1, len(Z) - 1)
         keep = _expand_tile_mask(jnp.asarray(~skip), s, cshape)
 
-        # Three cheap phases with two tiny host syncs (for the static
-        # buffer capacities): classify -> compact+stats -> emit.  All
-        # O(grid) work is compares/reduces plus the Pallas stream
-        # compaction; table lookups and stats run at active-cell size.
+        # Two dispatches, ONE tiny host sync (a scalar round trip costs
+        # ~40 ms through a tunneled runtime): count everything (cells,
+        # triangles, edges, per-tile stats) in one program, fetch the
+        # four counts together, then compact + emit in a second program
+        # whose output sizes are already known -- the emitted triangle
+        # count equals the fetched total, so the d2h slice needs no
+        # further sync.
+        tshape = tuple(-(-c // s) for c in cshape)
         with _phase("mc_count", stats):
             if case is None:
                 case = mc._cell_cases(vol)
-            ncells_dev, active = mc.active_count(case, keep)
-        n_cells = int(ncells_dev)
+            ncells_dev, total, n_edges, per_tile, active, emask = (
+                mc.count_indexed(vol, case, keep, s, tshape)
+            )
+        n_cells, n, ne, per_tile = jax.device_get(
+            (ncells_dev, total, n_edges, per_tile)
+        )
+        n_cells, n, ne = int(n_cells), int(n), int(ne)
         bar.update(num_batches * 0.8)
 
         if n_cells == 0:
-            verts = np.zeros((0, 3), dtype=np.float64)
+            indexed = (
+                np.zeros((0, 3), dtype=np.float64),
+                np.zeros((0, 3), dtype=np.int32),
+            )
             per_tile = np.zeros(skip.shape, dtype=np.int64)
         else:
             # Indexed emit: the device produces one vertex per unique
@@ -658,39 +667,26 @@ def generate(
             # sees is reconstructed below, bit-identical (see
             # mc.emit_indexed).
             cell_capacity = mc.round_capacity(n_cells)
-            tshape = tuple(-(-c // s) for c in cshape)
-            with _phase("mc_gather", stats):
-                total, per_tile, n_edges, cell_state, emask = (
-                    mc.gather_active_indexed(
-                        vol, case, active, cell_capacity, s, tshape
-                    )
-                )
-            # One round trip for both capacity counts.
-            n, ne = (int(v) for v in jax.device_get((total, n_edges)))
             capacity = mc.round_capacity(n)
             edge_capacity = mc.round_capacity(ne)
             with _phase("mc_emit", stats):
-                everts, faces, n_tris = mc.emit_indexed(
-                    vol, emask, cell_state, edge_capacity, capacity,
+                everts, faces = mc.gather_emit_indexed(
+                    vol, case, active, emask, edge_capacity, capacity,
                     cell_capacity,
                 )
-            n = int(n_tris)
             with _phase("d2h", stats):
                 vh = np.asarray(everts[:, :ne], dtype=np.float64).T  # (ne, 3)
                 fh = np.asarray(faces[:, :n]).T  # (n, 3) int32
-            if want_indexed:
-                indexed, verts = (vh, fh), None
-            else:
-                verts = vh[fh.reshape(-1)]
+            indexed = (vh, fh)
 
     scale = np.array([dx, dy, dz])
     offset = np.array([X[0], Y[0], Z[0]])
-    if indexed is not None:
-        mverts = indexed[0] * scale + offset
-        mfaces = indexed[1]
-        points = None
-    else:
-        points = verts.reshape(-1, 3) * scale + offset
+    # Scale the (small) unique-vertex table once, THEN reconstruct the
+    # soup if asked for: the same float ops per element as scaling the
+    # soup, so bit-identical output at ~1/6 the host arithmetic.
+    mverts = indexed[0] * scale + offset
+    mfaces = indexed[1]
+    points = None if want_indexed else mverts[mfaces.reshape(-1)]
     bar.done()
 
     if checkpoint is not None:
@@ -732,7 +728,7 @@ def generate(
         print("%d triangles in %g seconds" % (triangles, seconds))
 
     if output == "mesh":
-        if points is not None:  # multi-device / debug fallback
+        if points is not None:  # debug boxes are soup-only: dedup on host
             from ..io import meshfmt
 
             return meshfmt.dedup(points)

@@ -280,6 +280,57 @@ def gather_active_indexed(volume, case, active, cell_capacity, tile, tshape):
     return total, per_tile, n_edges, state, emask
 
 
+@partial(jax.jit, static_argnames=("tile", "tshape"))
+def count_indexed(volume, case, keep, tile, tshape):
+    """Single-dispatch phase 1 for the indexed path: EVERY count the host
+    needs, so one ``device_get`` sizes all three static buffers.
+
+    A scalar sync through a tunneled TPU runtime costs ~40 ms of pure
+    round-trip latency, so the old classify -> count -> gather -> emit
+    chain (three separate syncs) paid ~120 ms of RTT per generate().
+    The full-grid ``NTRI_TABLE[case]`` gather this needs measures free
+    (0.04 ms at 4M cells -- XLA lowers small-table gathers well), so
+    total/per-tile counts no longer need to wait for cell compaction.
+
+    Returns ``(n_cells, total_tris, n_edges, per_tile, active, emask)``;
+    fetch the first four in ONE device_get, keep the last two on device
+    for ``gather_emit_indexed``.
+    """
+    active = keep & (case != 0) & (case != 255)
+    ntri = jnp.asarray(NTRI_TABLE)[case] * active.astype(jnp.int32)
+    cx, cy, cz = ntri.shape
+    px, py, pz = (-cx) % tile, (-cy) % tile, (-cz) % tile
+    padded = jnp.pad(ntri, ((0, px), (0, py), (0, pz)))
+    tx, ty, tz = tshape
+    per_tile = padded.reshape(tx, tile, ty, tile, tz, tile).sum(axis=(1, 3, 5))
+    emask = _edge_mask(volume, active)
+    return (
+        jnp.sum(active.astype(jnp.int32)),
+        jnp.sum(ntri),
+        jnp.sum(emask.astype(jnp.int32)),
+        per_tile,
+        active,
+        emask,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("edge_capacity", "capacity", "cell_capacity"),
+)
+def gather_emit_indexed(volume, case, active, emask, edge_capacity, capacity,
+                        cell_capacity):
+    """Single-dispatch phases 2+3: cell compaction + indexed emit, no
+    intermediate host sync (all capacities come from ``count_indexed``'s
+    one fetch; the emitted triangle count always equals ``total_tris``
+    from there, so the host never needs to read ``n_tris``)."""
+    state = compact_cells(case, active, cell_capacity)
+    everts, faces, _ = emit_indexed(
+        volume, emask, state, edge_capacity, capacity, cell_capacity
+    )
+    return everts, faces
+
+
 @partial(jax.jit, static_argnames=("edge_capacity", "capacity", "cell_capacity"))
 def emit_indexed(volume, emask, cell_state, edge_capacity, capacity,
                  cell_capacity):
