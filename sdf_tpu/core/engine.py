@@ -669,15 +669,25 @@ def generate(
             cell_capacity = mc.round_capacity(n_cells)
             capacity = mc.round_capacity(n)
             edge_capacity = mc.round_capacity(ne)
+            # Packed wire format (8 B/vertex + 8 B/triangle instead of
+            # 12 + 12; see mc.emit_indexed_packed) whenever the volume
+            # is float32; decode on the host is bit-identical.
+            packed = False
+            if jnp.dtype(dtype) == jnp.float32:
+                packed = True if ne < (1 << mc.FACE_PACK_BITS) else "wide"
             with _phase("mc_emit", stats):
                 everts, faces = mc.gather_emit_indexed(
                     vol, case, active, emask, edge_capacity, capacity,
-                    cell_capacity,
+                    cell_capacity, packed=packed,
                 )
             with _phase("d2h", stats):
-                vh = np.asarray(everts[:, :ne], dtype=np.float64).T  # (ne, 3)
-                fh = np.asarray(faces[:, :n]).T  # (n, 3) int32
-            indexed = (vh, fh)
+                eh = np.asarray(everts[:, :ne])
+                fh = np.asarray(faces[:, :n])
+            if packed is not False:
+                indexed = mc.unpack_indexed(eh, fh, vol.shape)
+            else:
+                vh = eh.astype(np.float64).T  # (ne, 3)
+                indexed = (vh, fh.T)
 
     scale = np.array([dx, dy, dz])
     offset = np.array([X[0], Y[0], Z[0]])

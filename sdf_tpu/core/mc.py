@@ -316,35 +316,37 @@ def count_indexed(volume, case, keep, tile, tshape):
 
 @partial(
     jax.jit,
-    static_argnames=("edge_capacity", "capacity", "cell_capacity"),
+    static_argnames=("edge_capacity", "capacity", "cell_capacity", "packed"),
 )
 def gather_emit_indexed(volume, case, active, emask, edge_capacity, capacity,
-                        cell_capacity):
+                        cell_capacity, packed=False):
     """Single-dispatch phases 2+3: cell compaction + indexed emit, no
     intermediate host sync (all capacities come from ``count_indexed``'s
     one fetch; the emitted triangle count always equals ``total_tris``
-    from there, so the host never needs to read ``n_tris``)."""
+    from there, so the host never needs to read ``n_tris``).
+
+    ``packed`` selects the wire format (see ``emit_indexed_packed``):
+    False = plain ``(everts, faces)``; True = packed with 21-bit faces;
+    ``"wide"`` = packed vertices but plain uint32 faces (vertex count
+    may reach 2^21).  float32 volumes only when not False.
+    """
     state = compact_cells(case, active, cell_capacity)
+    if packed is not False:
+        return emit_indexed_packed(
+            volume, emask, state, edge_capacity, capacity, cell_capacity,
+            pack_faces=(packed is True),
+        )
     everts, faces, _ = emit_indexed(
         volume, emask, state, edge_capacity, capacity, cell_capacity
     )
     return everts, faces
 
 
-@partial(jax.jit, static_argnames=("edge_capacity", "capacity", "cell_capacity"))
-def emit_indexed(volume, emask, cell_state, edge_capacity, capacity,
-                 cell_capacity):
-    """Phase 3 for the indexed path: unique vertices + int32 faces.
-
-    Returns ``(everts (3, edge_capacity), faces (3, capacity), n_tris)``:
-    ``everts`` holds one interpolated vertex per active edge (ascending
-    global edge id -- x-edge block, then y, then z) in fractional index
-    coordinates; ``faces[v, i]`` indexes triangle i's vertex v into that
-    array.  Reconstructing ``everts.T[faces.T.reshape(-1)]`` yields
-    exactly ``emit``'s soup (same values, same order).
-    """
+def _emit_indexed_core(volume, emask, cell_state, edge_capacity, capacity,
+                       cell_capacity):
+    """Shared body of the indexed emit: per-edge ``(eidx, ax, exyz, t)``
+    plus resolved ``faces (3, capacity)`` and ``n_tris``."""
     ci, cj, ck, cell_case, cell_ntri = cell_state
-    dtype = volume.dtype
     nx, ny, nz = volume.shape
     Sx = (nx - 1) * ny * nz
     Sy = nx * (ny - 1) * nz
@@ -381,6 +383,29 @@ def emit_indexed(volume, emask, cell_state, edge_capacity, capacity,
     # Same zero-crossing formula as interpolate_slots, term for term, so
     # positions match the soup path bit-for-bit.
     t = jnp.clip(va / jnp.where(denom == 0, 1.0, denom), 0.0, 1.0)
+
+    faces, n_tris = _resolve_faces(
+        emask, cell_state, capacity, cell_capacity, ny, nz, Sx, Sy
+    )
+    return eidx, ax, (ex, ey, ez), t, faces, n_tris
+
+
+@partial(jax.jit, static_argnames=("edge_capacity", "capacity", "cell_capacity"))
+def emit_indexed(volume, emask, cell_state, edge_capacity, capacity,
+                 cell_capacity):
+    """Phase 3 for the indexed path: unique vertices + int32 faces.
+
+    Returns ``(everts (3, edge_capacity), faces (3, capacity), n_tris)``:
+    ``everts`` holds one interpolated vertex per active edge (ascending
+    global edge id -- x-edge block, then y, then z) in fractional index
+    coordinates; ``faces[v, i]`` indexes triangle i's vertex v into that
+    array.  Reconstructing ``everts.T[faces.T.reshape(-1)]`` yields
+    exactly ``emit``'s soup (same values, same order).
+    """
+    dtype = volume.dtype
+    _, ax, (ex, ey, ez), t, faces, n_tris = _emit_indexed_core(
+        volume, emask, cell_state, edge_capacity, capacity, cell_capacity
+    )
     everts = jnp.stack(
         [
             ex.astype(dtype) + t * (ax == 0).astype(dtype),
@@ -389,6 +414,12 @@ def emit_indexed(volume, emask, cell_state, edge_capacity, capacity,
         ],
         axis=0,
     )  # (3, edge_capacity)
+    return everts, faces, n_tris
+
+
+def _resolve_faces(emask, cell_state, capacity, cell_capacity, ny, nz, Sx, Sy):
+    """Face resolution: per-triangle global edge ids -> compacted ranks."""
+    ci, cj, ck, cell_case, cell_ntri = cell_state
 
     # --- inverse map: global edge id -> compacted vertex rank ---------
     # ranks_of instead of scattering arange over eidx: the XLA scatter
@@ -431,7 +462,102 @@ def emit_indexed(volume, emask, cell_state, edge_capacity, capacity,
         for v in range(3)
     ]
     faces = inv[jnp.concatenate(gids)].reshape(3, capacity)
-    return everts, faces, n_tris
+    return faces, n_tris
+
+
+# ---------------------------------------------------------------------------
+# Packed readback: the device-to-host transfer is the dominant warm cost
+# (a tunneled runtime moves ~30 MB/s; PCIe hosts still pay bandwidth at
+# 2^26 grids), so the wire format matters.  Vertices travel as
+# (edge id: uint32, t: float32 bit pattern) -- 8 B instead of 12 B --
+# and faces as two uint32 words holding three 21-bit vertex ranks
+# (8 B instead of 12 B) whenever the vertex count fits 21 bits.  The host
+# reconstructs positions with the same IEEE float32 ops the device would
+# have used, so the unpacked mesh is bit-identical to emit_indexed's.
+# ---------------------------------------------------------------------------
+
+FACE_PACK_BITS = 21  # 3 * 21 = 63 bits across two words; ne < 2^21
+
+
+@partial(jax.jit, static_argnames=("edge_capacity", "capacity", "cell_capacity",
+                                   "pack_faces"))
+def emit_indexed_packed(volume, emask, cell_state, edge_capacity, capacity,
+                        cell_capacity, pack_faces):
+    """``emit_indexed`` with the wire-format outputs described above.
+
+    Returns ``(epack (2, edge_capacity) uint32, fpack (2 or 3, capacity)
+    uint32)``; decode with ``unpack_indexed``.  ``pack_faces`` must be
+    False when the live vertex count can reach 2^21.  float32 volumes
+    only (the t bit pattern travels in the uint32 lane).
+    """
+    eidx, _, _, t, faces, _ = _emit_indexed_core(
+        volume, emask, cell_state, edge_capacity, capacity, cell_capacity
+    )
+    epack = jnp.stack(
+        [eidx.astype(jnp.uint32),
+         jax.lax.bitcast_convert_type(t, jnp.uint32)],
+        axis=0,
+    )
+    f = faces.astype(jnp.uint32)
+    if pack_faces:
+        B = FACE_PACK_BITS
+        lo_mask = jnp.uint32((1 << (32 - B)) - 1)  # low 11 bits of f1
+        w0 = f[0] | (f[1] & lo_mask) << B
+        w1 = (f[1] >> (32 - B)) | f[2] << (2 * B - 32)
+        fpack = jnp.stack([w0, w1], axis=0)
+    else:
+        fpack = f
+    return epack, fpack
+
+
+def unpack_indexed(epack, fpack, grid_shape, dtype=np.float32):
+    """Host-side decode of ``emit_indexed_packed`` outputs (numpy).
+
+    ``epack (2, ne)`` / ``fpack (2|3, n)`` are already sliced to live
+    counts.  Returns ``(vh (ne, 3) float64, fh (n, 3) int32)``
+    bit-identical to slicing ``emit_indexed``'s outputs: positions are
+    recomputed with the same IEEE float32 adds/multiplies the device
+    kernel performs.
+    """
+    nx, ny, nz = grid_shape
+    Sx = (nx - 1) * ny * nz
+    Sy = nx * (ny - 1) * nz
+    eidx = epack[0].astype(np.int64)
+    t = epack[1].view(np.float32) if epack.dtype == np.uint32 else epack[1]
+    ax = (eidx >= Sx).astype(np.int64) + (eidx >= Sx + Sy).astype(np.int64)
+
+    def decode(local, My, Mz):
+        z = local % Mz
+        rem = local // Mz
+        return rem // My, rem % My, z
+
+    d0 = decode(eidx, ny, nz)
+    d1 = decode(eidx - Sx, ny - 1, nz)
+    d2 = decode(eidx - Sx - Sy, ny, nz - 1)
+
+    def pick(i):
+        return np.where(ax == 0, d0[i], np.where(ax == 1, d1[i], d2[i]))
+
+    ft = np.dtype(dtype)
+    comps = []
+    for c, e in enumerate((pick(0), pick(1), pick(2))):
+        # Same op order and precision as the device: base.astype(f32)
+        # + t * (ax == c) in f32, widened to f64 only afterwards.
+        comps.append(e.astype(ft) + t.astype(ft) * (ax == c).astype(ft))
+    vh = np.stack(comps, axis=1).astype(np.float64)
+
+    if fpack.shape[0] == 3:
+        fh = fpack.T.astype(np.int32)
+    else:
+        B = FACE_PACK_BITS
+        w0 = fpack[0].astype(np.uint64)
+        w1 = fpack[1].astype(np.uint64)
+        m = np.uint64((1 << B) - 1)
+        f0 = w0 & m
+        f1 = ((w0 >> np.uint64(B)) | (w1 << np.uint64(32 - B))) & m
+        f2 = (w1 >> np.uint64(2 * B - 32)) & m
+        fh = np.stack([f0, f1, f2], axis=1).astype(np.int32)
+    return vh, fh
 
 
 @partial(jax.jit, static_argnames=("tile",))

@@ -309,3 +309,32 @@ def test_generate_mesh_matches_soup():
     # checkpoint is soup-only
     with pytest.raises(ValueError):
         f.generate(samples=2**12, output="mesh", checkpoint="/tmp/x.ckpt")
+
+
+def test_packed_wire_format_bit_identical():
+    """emit_indexed_packed + unpack_indexed must reproduce emit_indexed's
+    outputs bit-for-bit (both 21-bit and wide face variants)."""
+    import jax.numpy as jnp
+
+    vol_np, lin = _sphere_volume(n=21)
+    vol = jnp.asarray(vol_np.astype(np.float32))
+    case = mc._cell_cases(vol)
+    keep = jnp.ones(tuple(s - 1 for s in vol.shape), bool)
+    ncells, total, nedges, _, active, emask = mc.count_indexed(
+        vol, case, keep, 32, (1, 1, 1)
+    )
+    nc, nt, ne = int(ncells), int(total), int(nedges)
+    ccap, cap, ecap = (mc.round_capacity(x) for x in (nc, nt, ne))
+    ev, fa = mc.gather_emit_indexed(vol, case, active, emask, ecap, cap, ccap)
+    vh1 = np.asarray(ev[:, :ne]).astype(np.float64).T
+    fh1 = np.asarray(fa[:, :nt]).T
+    for packed in (True, "wide"):
+        ep, fp = mc.gather_emit_indexed(
+            vol, case, active, emask, ecap, cap, ccap, packed=packed
+        )
+        assert ep.dtype == jnp.uint32 and fp.shape[0] == (2 if packed is True else 3)
+        vh2, fh2 = mc.unpack_indexed(
+            np.asarray(ep[:, :ne]), np.asarray(fp[:, :nt]), vol.shape
+        )
+        np.testing.assert_array_equal(fh1, fh2)
+        np.testing.assert_array_equal(vh1, vh2)
