@@ -261,18 +261,13 @@ def _tile_slices(n, size):
     return [(i, min(i + size, n - 1)) for i in starts]
 
 
-def _skip_mask(sdf_c, X, Y, Z, batch_size, dtype):
-    """Vectorized reproduction of the reference's per-batch ``_skip`` test.
-
-    For every tile: evaluate the center point; if |d| exceeds the distance
-    from center to the tile's min corner AND the 8 tile corners all have the
-    same sign as corner 0, the tile is skipped (ref sdf/core.py:28-43).
-    Returns a (tx, ty, tz) bool array, True = skip.
-    """
+def _skip_probes(X, Y, Z, batch_size):
+    """Probe points for the reference's per-batch ``_skip`` test: center
+    + 8 corners per tile (ref sdf/core.py:28-43).  Returns
+    ``(probes (nt * 9, 3) float64, radii (nt,), (tx, ty, tz))``."""
     txs = _tile_slices(len(X), batch_size)
     tys = _tile_slices(len(Y), batch_size)
     tzs = _tile_slices(len(Z), batch_size)
-    tx, ty, tz = len(txs), len(tys), len(tzs)
 
     probes = []
     radii = []
@@ -298,17 +293,62 @@ def _skip_mask(sdf_c, X, Y, Z, batch_size, dtype):
                     ]
                 )
     probes = np.array(probes, dtype=np.float64).reshape(-1, 3)
+    return probes, np.array(radii), (len(txs), len(tys), len(tzs))
+
+
+def _skip_mask(sdf_c, X, Y, Z, batch_size, dtype):
+    """Vectorized reproduction of the reference's per-batch ``_skip`` test.
+
+    For every tile: evaluate the center point; if |d| exceeds the distance
+    from center to the tile's min corner AND the 8 tile corners all have the
+    same sign as corner 0, the tile is skipped (ref sdf/core.py:28-43).
+    Returns a (tx, ty, tz) bool array, True = skip.
+    """
+    probes, radii, tshape = _skip_probes(X, Y, Z, batch_size)
     values = _eval_numpy(sdf_c, probes, dtype).reshape(-1, 9)
     center = np.abs(values[:, 0])
     corners = values[:, 1:]
     # Slight slack keeps borderline float32 comparisons conservative
     # (skipping less rather than more).
-    far = center > np.array(radii) * (1 + 1e-4)
+    far = center > radii * (1 + 1e-4)
     first_pos = corners[:, 0] > 0
     same = np.where(
         first_pos, np.all(corners > 0, axis=1), np.all(corners < 0, axis=1)
     )
-    return (far & same).reshape(tx, ty, tz)
+    return (far & same).reshape(tshape)
+
+
+@jax.jit
+def _skip_probe_jit(sdf, probes, thresh):
+    """Device-resident ``_skip`` test: same probes and formula as
+    ``_skip_mask`` with the comparisons in the evaluation dtype (the host
+    version widens to float64 first -- a <= 1-ulp borderline difference
+    on the ``far`` test; the cull stays conservative either way).
+    Returns a flat (nt,) bool mask, True = skip."""
+    values = sdf(probes).reshape(-1, 9)
+    center = jnp.abs(values[:, 0])
+    corners = values[:, 1:]
+    far = center > thresh
+    first_pos = corners[:, 0] > 0
+    same = jnp.where(
+        first_pos,
+        jnp.all(corners > 0, axis=1),
+        jnp.all(corners < 0, axis=1),
+    )
+    return far & same
+
+
+def _skip_mask_device(sdf_c, X, Y, Z, batch_size, dtype):
+    """Dispatch the probe-cull test on device WITHOUT syncing: returns
+    ``(mask (nt,) bool device array, (tx, ty, tz))`` so the fetch can
+    ride the dense pipeline's one counts round trip (see generate())."""
+    probes, radii, tshape = _skip_probes(X, Y, Z, batch_size)
+    m = _skip_probe_jit(
+        cast(sdf_c, dtype),
+        jnp.asarray(probes, dtype=dtype),
+        jnp.asarray(radii * (1 + 1e-4), dtype=dtype),
+    )
+    return m, tshape
 
 
 # Box triangulation used for debug markers: 36 corner ids (12 triangles)
@@ -487,15 +527,27 @@ def generate(
                 print("resumed %d triangles from %s" % (len(cached) // 3, checkpoint))
             return cached
 
-    with _phase("skip_mask", stats):
-        skip = (
-            _skip_mask(sdf_c, X, Y, Z, s, dtype)
-            if sparse
-            else np.zeros(
-                (-(-len(X) // s), -(-len(Y) // s), -(-len(Z) // s)), dtype=bool
+    # Single-device sparse=True runs SPECULATIVELY: the probe-cull test
+    # is dispatched to the device but not fetched, the dense pipeline is
+    # dispatched behind it using the device-resident mask, and the mask
+    # comes back WITH the counts in one round trip (a scalar sync costs
+    # ~40 ms on a tunneled runtime).  If the fetched cull fraction then
+    # routes to the tiled path, the dense eval's device time (a few ms
+    # at 2^22) is discarded -- cheap insurance relative to the saved
+    # round trip on every dense run.
+    speculate = mesh is None and sparse is True
+    skip = None
+    if not speculate:
+        with _phase("skip_mask", stats):
+            skip = (
+                _skip_mask(sdf_c, X, Y, Z, s, dtype)
+                if sparse
+                else np.zeros(
+                    (-(-len(X) // s), -(-len(Y) // s), -(-len(Z) // s)),
+                    dtype=bool,
+                )
             )
-        )
-    bar.update(num_batches * 0.1)
+        bar.update(num_batches * 0.1)
 
     # Auto-sparsity: the reference never evaluates culled batches
     # (ref sdf/core.py:45-48); the dense device path instead evaluates
@@ -503,10 +555,53 @@ def generate(
     # culled.  When the probe cull removes most of the volume, route
     # sparse=True to the tiled path, which evaluates only surviving
     # tiles (work scales with surface area, not volume).  Opt out with
-    # sparse=False (dense) or pass sparse="tiles" to force tiles.
-    if sparse is True and skip.mean() >= AUTO_TILES_THRESHOLD:
+    # sparse=False (dense) or pass sparse="tiles" to force tiles.  (The
+    # speculative path applies the same rule after its combined fetch.)
+    if skip is not None and sparse is True and skip.mean() >= AUTO_TILES_THRESHOLD:
         sparse = "tiles"
         stats["auto_tiles"] = round(float(skip.mean()), 4)
+
+    def _tiles_path(skip):
+        # Tiled sparse pipeline: evaluate only the tiles the probe cull
+        # kept (SURVEY.md section 7 step 4); work scales with surface
+        # area instead of grid volume.  With use_pallas=True the
+        # per-tile evaluation + classification fuse into one Pallas
+        # kernel (pallas_eval.eval_tiles_and_classify).  Unlike the
+        # dense path, Pallas is NOT the TPU default here: measured on
+        # v5e at 2^22 the fused tile kernel is slower than XLA's chunked
+        # tile eval (1053 ms vs 680 ms e2e) -- per-tile (tile+1)^3
+        # volumes are too small to tile well onto the VPU, while XLA
+        # batches 128 tiles per dispatch.  It stays available for
+        # expressions where fusion wins (deep CSG trees bound on HBM
+        # traffic).
+        from . import sparse as sparse_mod
+
+        backend = jax.default_backend()
+        want_pallas = use_pallas is True
+        key = _pallas_key(sdf_c, dtype, ("tiles", len(X), len(Y)))
+        with _phase("sparse_tiles", stats):
+            if want_pallas and (
+                use_pallas is True or key not in _PALLAS_BROKEN
+            ):
+                try:
+                    return sparse_mod.mesh_sparse_tiles(
+                        sdf_c, X, Y, Z, skip, s, dtype,
+                        use_pallas=True, interpret=(backend != "tpu"),
+                        return_indexed=True,
+                    )
+                except Exception:
+                    if use_pallas is True:
+                        raise
+                    if len(_PALLAS_BROKEN) > 256:
+                        _PALLAS_BROKEN.clear()
+                    _PALLAS_BROKEN.add(key)
+                    return sparse_mod.mesh_sparse_tiles(
+                        sdf_c, X, Y, Z, skip, s, dtype,
+                        return_indexed=True,
+                    )
+            return sparse_mod.mesh_sparse_tiles(
+                sdf_c, X, Y, Z, skip, s, dtype, return_indexed=True,
+            )
 
     if mesh is not None and mesh.devices.size > 1:
         if sparse == "tiles":
@@ -555,48 +650,14 @@ def generate(
         indexed = verts
         bar.update(num_batches * 0.8)
     elif sparse == "tiles":
-        # Tiled sparse pipeline: evaluate only the tiles the probe cull
-        # kept (SURVEY.md section 7 step 4); work scales with surface
-        # area instead of grid volume.  With use_pallas=True the per-tile
-        # evaluation + classification fuse into one Pallas kernel
-        # (pallas_eval.eval_tiles_and_classify).  Unlike the dense path,
-        # Pallas is NOT the TPU default here: measured on v5e at 2^22 the
-        # fused tile kernel is slower than XLA's chunked tile eval
-        # (1053 ms vs 680 ms e2e) -- per-tile (tile+1)^3 volumes are too
-        # small to tile well onto the VPU, while XLA batches 128 tiles
-        # per dispatch.  It stays available for expressions where fusion
-        # wins (deep CSG trees bound on HBM traffic).
-        from . import sparse as sparse_mod
-
-        backend = jax.default_backend()
-        want_pallas = use_pallas is True
-        key = _pallas_key(sdf_c, dtype, ("tiles", len(X), len(Y)))
-        with _phase("sparse_tiles", stats):
-            if want_pallas and (use_pallas is True or key not in _PALLAS_BROKEN):
-                try:
-                    verts, per_tile = sparse_mod.mesh_sparse_tiles(
-                        sdf_c, X, Y, Z, skip, s, dtype,
-                        use_pallas=True, interpret=(backend != "tpu"),
-                        return_indexed=True,
-                    )
-                except Exception:
-                    if use_pallas is True:
-                        raise
-                    if len(_PALLAS_BROKEN) > 256:
-                        _PALLAS_BROKEN.clear()
-                    _PALLAS_BROKEN.add(key)
-                    verts, per_tile = sparse_mod.mesh_sparse_tiles(
-                        sdf_c, X, Y, Z, skip, s, dtype,
-                        return_indexed=True,
-                    )
-            else:
-                verts, per_tile = sparse_mod.mesh_sparse_tiles(
-                    sdf_c, X, Y, Z, skip, s, dtype,
-                    return_indexed=True,
-                )
-        indexed = verts
+        indexed, per_tile = _tiles_path(skip)
         bar.update(num_batches * 0.8)
     else:
+        if speculate:
+            with _phase("skip_dispatch", stats):
+                skip_dev, skip_tshape = _skip_mask_device(
+                    sdf_c, X, Y, Z, s, dtype
+                )
         backend = jax.default_backend()
         if use_pallas is None:
             use_pallas = "auto" if backend == "tpu" else False
@@ -631,13 +692,17 @@ def generate(
         bar.update(num_batches * 0.6)
 
         cshape = (len(X) - 1, len(Y) - 1, len(Z) - 1)
-        keep = _expand_tile_mask(jnp.asarray(~skip), s, cshape)
+        skip3d = (
+            skip_dev.reshape(skip_tshape) if speculate else jnp.asarray(skip)
+        )
+        keep = _expand_tile_mask(~skip3d, s, cshape)
 
         # Two dispatches, ONE tiny host sync (a scalar round trip costs
         # ~40 ms through a tunneled runtime): count everything (cells,
         # triangles, edges, per-tile stats) in one program, fetch the
-        # four counts together, then compact + emit in a second program
-        # whose output sizes are already known -- the emitted triangle
+        # four counts together -- plus the speculative skip mask, riding
+        # the same round trip -- then compact + emit in a second program
+        # whose output sizes are already known; the emitted triangle
         # count equals the fetched total, so the d2h slice needs no
         # further sync.
         tshape = tuple(-(-c // s) for c in cshape)
@@ -647,13 +712,24 @@ def generate(
             ncells_dev, total, n_edges, per_tile, active, emask = (
                 mc.count_indexed(vol, case, keep, s, tshape)
             )
-        n_cells, n, ne, per_tile = jax.device_get(
-            (ncells_dev, total, n_edges, per_tile)
-        )
+        if speculate:
+            skip, n_cells, n, ne, per_tile = jax.device_get(
+                (skip3d, ncells_dev, total, n_edges, per_tile)
+            )
+        else:
+            n_cells, n, ne, per_tile = jax.device_get(
+                (ncells_dev, total, n_edges, per_tile)
+            )
         n_cells, n, ne = int(n_cells), int(n), int(ne)
         bar.update(num_batches * 0.8)
 
-        if n_cells == 0:
+        if speculate and skip.mean() >= AUTO_TILES_THRESHOLD:
+            # The cull removed most of the volume: discard the dense
+            # eval (a few ms of device time) and run the tiled path.
+            sparse = "tiles"
+            stats["auto_tiles"] = round(float(skip.mean()), 4)
+            indexed, per_tile = _tiles_path(skip)
+        elif n_cells == 0:
             indexed = (
                 np.zeros((0, 3), dtype=np.float64),
                 np.zeros((0, 3), dtype=np.int32),

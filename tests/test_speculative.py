@@ -1,0 +1,56 @@
+"""Speculative single-device dense pipeline.
+
+With one device and sparse=True, generate() dispatches the probe-cull
+test and the dense pipeline together and fetches the skip mask WITH the
+counts in one round trip (engine._skip_mask_device); if the fetched cull
+fraction crosses AUTO_TILES_THRESHOLD it discards the dense eval and
+runs the tiled path.  The test env has 8 virtual devices (which disables
+speculation via auto-sharding), so jax.devices is narrowed to one.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+import sdf_tpu as stp
+from sdf_tpu.core import engine
+
+
+@pytest.fixture
+def one_device(monkeypatch):
+    real = jax.devices()
+    monkeypatch.setattr(jax, "devices", lambda *a, **k: real[:1])
+    return real[0]
+
+
+def canon(p):
+    return np.sort(p.reshape(-1, 9), axis=0)
+
+
+def test_speculative_matches_forced_dense(one_device):
+    f = stp.sphere(1) & stp.box(1.5)
+    p_spec = f.generate(samples=2**15, verbose=False, sparse=True)
+    st = dict(engine.LAST_STATS)
+    assert "skip_dispatch" in st and "skip_mask" not in st
+    p_dense = f.generate(samples=2**15, verbose=False, sparse=False)
+    np.testing.assert_array_equal(canon(p_spec), canon(p_dense))
+
+
+def test_speculative_auto_tiles_fallback(one_device):
+    g = stp.sphere(0.1)
+    b = ((-3.0,) * 3, (3.0,) * 3)
+    p1 = g.generate(samples=2**19, verbose=False, sparse=True, bounds=b)
+    st = dict(engine.LAST_STATS)
+    assert st.get("auto_tiles", 0) >= engine.AUTO_TILES_THRESHOLD
+    assert "sparse_tiles" in st and "skip_dispatch" in st
+    p2 = g.generate(samples=2**19, verbose=False, sparse="tiles", bounds=b)
+    assert len(p1) > 0
+    np.testing.assert_array_equal(canon(p1), canon(p2))
+
+
+def test_speculative_indexed_output(one_device):
+    f = stp.sphere(1) & stp.box(1.5)
+    pts = f.generate(samples=2**15, verbose=False)
+    verts, faces = f.generate_mesh(samples=2**15, verbose=False)
+    np.testing.assert_array_equal(verts[faces.reshape(-1)], pts)
+    assert len(np.unique(faces)) == len(verts)
