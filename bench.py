@@ -94,25 +94,29 @@ def main():
     tshape = tuple(-(-c // s) for c in cshape)
     case = jax.block_until_ready(jax.jit(mc._cell_cases)(vol))
     t_cnt, (ncells_dev, total, n_edges, per_tile, active, emask) = _timed(
-        lambda v, c, k: mc.count_indexed(v, c, k, s, tshape), vol, case, keep
+        lambda v, c, k: mc.count_indexed(v, c, k, s, tshape), vol, case, keep,
+        K=40,
     )
     n_cells, n, ne = (int(v) for v in (ncells_dev, total, n_edges))
     ccap = mc.round_capacity(n_cells)
     cap = mc.round_capacity(n)
     ecap = mc.round_capacity(ne)
+    packed = True if ne < (1 << mc.FACE_PACK_BITS) else "wide"
     t_emit, (everts, faces) = _timed(
-        lambda v, c, a, m: mc.gather_emit_indexed(v, c, a, m, ecap, cap, ccap),
-        vol, case, active, emask,
+        lambda v, c, a, m: mc.gather_emit_indexed(
+            v, c, a, m, ecap, cap, ccap, packed=packed
+        ),
+        vol, case, active, emask, K=40,
     )
 
-    # --- mesh readback, reported separately (best of 3) ------------------
+    # --- mesh readback (packed wire format, best of 3) -------------------
     t_d2h = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        vh = np.asarray(everts[:, :ne])
+        eh = np.asarray(everts[:, :ne])
         fh = np.asarray(faces[:, :n])
         t_d2h = min(t_d2h, time.perf_counter() - t0)
-    mb = (vh.nbytes + fh.nbytes) / 1e6
+    mb = (eh.nbytes + fh.nbytes) / 1e6
 
     # --- warm end-to-end generate() (best of 3) --------------------------
     f.generate(samples=samples, verbose=False)  # warm

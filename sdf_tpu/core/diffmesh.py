@@ -51,7 +51,7 @@ def _extract(node, grid01, origin, step, capacity, shape):
     # must be observable, not silently clamped -- a fitting loss seeing a
     # truncated surface is a silent wrong-gradient bug.
     case = mc._cell_cases(vol)
-    total = jnp.sum(jnp.asarray(mc.NTRI_TABLE)[case])
+    total = jnp.sum(mc.ntri_of(case))
     verts9, n = mc.emit(vol, keep, capacity, case=case)  # (9, capacity) SoA
     kept = jnp.minimum(jnp.minimum(n, total), capacity)
     jax.lax.cond(
@@ -180,7 +180,7 @@ def extract_sharded(node, bounds, resolution=64, capacity=None,
         )
         case = mc._cell_cases(vol)
         total = jnp.sum(
-            jnp.asarray(mc.NTRI_TABLE)[case] * keep.astype(jnp.int32)
+            mc.ntri_of(case) * keep.astype(jnp.int32)
         )
         verts9, nn = mc.emit(vol, keep, cap_d)
         verts9 = verts9.at[jnp.array([2, 5, 8]), :].add(

@@ -116,7 +116,7 @@ def _count_tiles(vols, tiles, live, cshape, tile, case=None):
     if case is None:
         case = _tile_cases(vols, tile)
     valid = _cell_valid(tiles, live, cshape, tile)
-    ntri = jnp.asarray(NTRI_TABLE)[case] * valid.astype(jnp.int32)
+    ntri = mc.ntri_of(case) * valid.astype(jnp.int32)
     per_tile = ntri.sum(axis=(1, 2, 3))
     ncell = jnp.sum((ntri > 0).astype(jnp.int32))
     emask = _tile_edge_mask(vols, ntri > 0, tile)
@@ -137,7 +137,7 @@ def _emit_tiles(vols, tiles, live, case, cshape, capacity, cell_capacity, tile):
     """
     TS = tile + 1
     valid = _cell_valid(tiles, live, cshape, tile)
-    ntri = jnp.asarray(NTRI_TABLE)[case] * valid.astype(jnp.int32)
+    ntri = mc.ntri_of(case) * valid.astype(jnp.int32)
 
     active = (ntri > 0).reshape(-1)
     cell_idx = compact.indices_of(active, cell_capacity)
@@ -192,7 +192,7 @@ def _emit_tiles_indexed(vols, tiles, live, case, emask, cshape,
     Stile = 3 * Sblk
     dt = vols.dtype
     valid = _cell_valid(tiles, live, cshape, tile)
-    ntri = jnp.asarray(NTRI_TABLE)[case] * valid.astype(jnp.int32)
+    ntri = mc.ntri_of(case) * valid.astype(jnp.int32)
 
     active = (ntri > 0).reshape(-1)
     cell_idx = compact.indices_of(active, cell_capacity)

@@ -112,7 +112,7 @@ def _phase_count(sdf, X, Y, Zs, keep_xy, mesh, c, ncz, tile, n_z_tiles,
             vol = _slab_eval(sdf, X, Y, Zblk, chunk_points)
             case = mc._cell_cases(vol)
         mask = _local_cell_mask(keep_xy, c, ncz, tile, AXIS)
-        ntri = jnp.asarray(NTRI_TABLE)[case] * mask.astype(jnp.int32)
+        ntri = mc.ntri_of(case) * mask.astype(jnp.int32)
         total = jnp.sum(ntri)
         ncell = jnp.sum((ntri > 0).astype(jnp.int32))
 
@@ -187,7 +187,7 @@ def _phase_emit(vol, case, emask, keep_xy, mesh, c, ncz, tile, edge_capacity,
         case = case[0]
         emask = emask[0]
         mask = _local_cell_mask(keep_xy, c, ncz, tile, AXIS)
-        ntri = jnp.asarray(NTRI_TABLE)[case] * mask.astype(jnp.int32)
+        ntri = mc.ntri_of(case) * mask.astype(jnp.int32)
         state = mc.compact_cells(case, (ntri > 0), cell_capacity)
         everts, faces, n = mc.emit_indexed(
             vol, emask, state, edge_capacity, capacity, cell_capacity
