@@ -51,6 +51,11 @@ AUTO_TILES_THRESHOLD = 0.6
 
 _TARGET_CHUNK_POINTS = 2**22
 
+# Memoized (n_cells, n_tris, n_edges) per (expression fingerprint, grid,
+# dtype, cull mode): counts are deterministic, so repeat generate() calls
+# skip the pre-emit sync round trip entirely (see the dense path).
+_COUNTS_MEMO = {}
+
 # Expression structures whose Pallas lowering failed (see generate()).
 # Keyed on a *structural fingerprint* (utils.checkpoint.structure_key):
 # rebuilding the same model yields fresh closure identities, so treedef
@@ -519,7 +524,7 @@ def generate(
     if checkpoint is not None:
         from ..utils import checkpoint as ckpt
 
-        fp = ckpt.fingerprint(sdf_c, X, Y, Z, sparse)
+        fp = ckpt.fingerprint(sdf, X, Y, Z, (sparse, jnp.dtype(dtype).str))
         cached = ckpt.load(checkpoint, fp)
         if cached is not None:
             bar.done()
@@ -712,24 +717,58 @@ def generate(
             ncells_dev, total, n_edges, per_tile, active, emask = (
                 mc.count_indexed(vol, case, keep, s, tshape)
             )
-        if speculate:
-            skip, n_cells, n, ne, per_tile = jax.device_get(
-                (skip3d, ncells_dev, total, n_edges, per_tile)
+        # Counts are DETERMINISTIC in (expression, grid, dtype, cull
+        # mode): a repeat generate() of an unchanged model reuses the
+        # memoized counts, dispatches emit immediately, and lets the
+        # stats (skip mask, per-tile counters) arrive asynchronously
+        # during the mesh transfer -- removing the last pre-transfer
+        # sync round trip (~40 ms on a tunneled runtime).
+        from ..utils import checkpoint as ckpt_mod
+
+        try:
+            # The UNCAST expression: its leaves live on the host, so
+            # hashing needs no device transfers (the dtype is in the
+            # extras tuple, which is all cast() changes).
+            ckey = ckpt_mod.fingerprint(
+                sdf, X, Y, Z,
+                ("counts", jnp.dtype(dtype).str, s, bool(speculate)),
             )
+        except Exception:
+            ckey = None
+        cached = _COUNTS_MEMO.get(ckey) if ckey is not None else None
+        routed = False
+        if cached is not None:
+            # The not-yet-fetched stats (skip mask, per-tile counters)
+            # ride the mesh transfer below in the same device_get --
+            # copy_to_host_async is NOT used (it wedges the axon
+            # runtime's transfer path for minutes).
+            n_cells, n, ne = cached
         else:
-            n_cells, n, ne, per_tile = jax.device_get(
-                (ncells_dev, total, n_edges, per_tile)
-            )
-        n_cells, n, ne = int(n_cells), int(n), int(ne)
+            if speculate:
+                skip, n_cells, n, ne, per_tile = jax.device_get(
+                    (skip3d, ncells_dev, total, n_edges, per_tile)
+                )
+            else:
+                n_cells, n, ne, per_tile = jax.device_get(
+                    (ncells_dev, total, n_edges, per_tile)
+                )
+            n_cells, n, ne = int(n_cells), int(n), int(ne)
+            routed = speculate and skip.mean() >= AUTO_TILES_THRESHOLD
+            if not routed and ckey is not None:
+                if len(_COUNTS_MEMO) > 256:
+                    _COUNTS_MEMO.clear()
+                _COUNTS_MEMO[ckey] = (n_cells, n, ne)
         bar.update(num_batches * 0.8)
 
-        if speculate and skip.mean() >= AUTO_TILES_THRESHOLD:
+        if routed:
             # The cull removed most of the volume: discard the dense
             # eval (a few ms of device time) and run the tiled path.
             sparse = "tiles"
             stats["auto_tiles"] = round(float(skip.mean()), 4)
             indexed, per_tile = _tiles_path(skip)
         elif n_cells == 0:
+            if skip is None:  # memoized-counts speculative run
+                skip = np.asarray(skip3d)
             indexed = (
                 np.zeros((0, 3), dtype=np.float64),
                 np.zeros((0, 3), dtype=np.int32),
@@ -757,8 +796,18 @@ def generate(
                     cell_capacity, packed=packed,
                 )
             with _phase("d2h", stats):
-                eh = np.asarray(everts[:, :ne])
-                fh = np.asarray(faces[:, :n])
+                if cached is not None:
+                    # One RPC for the mesh AND the pending stats.
+                    parts = [everts[:, :ne], faces[:, :n], per_tile]
+                    if skip is None:
+                        parts.append(skip3d)
+                    got = jax.device_get(tuple(parts))
+                    eh, fh, per_tile = got[0], got[1], got[2]
+                    if skip is None:
+                        skip = got[3]
+                else:
+                    eh = np.asarray(everts[:, :ne])
+                    fh = np.asarray(faces[:, :n])
             if packed is not False:
                 indexed = mc.unpack_indexed(eh, fh, vol.shape)
             else:

@@ -454,18 +454,34 @@ def _resolve_faces(emask, cell_state, capacity, cell_capacity, ny, nz, Sx, Sy):
     ctri = tri_idx // MAX_TRIS_PER_CELL
     slot = tri_idx % MAX_TRIS_PER_CELL
 
-    # Per-triangle cell data: ONE batched gather over a packed
-    # (4 * cell_capacity) staging array.
-    cellpack = jnp.concatenate([ci, cj, ck, cell_case])
-    cd = cellpack[
-        jnp.concatenate(
-            [ctri + i * cell_capacity for i in range(4)]
-        )
-    ]
-    cx = cd[:capacity]
-    cy = cd[capacity : 2 * capacity]
-    cz = cd[2 * capacity : 3 * capacity]
-    case_t = cd[3 * capacity :]
+    # Per-triangle cell data.  Element gathers cost ~8 ns each on TPU
+    # regardless of table size, so pack (ci, cj, ck, case) into ONE
+    # int32 word per cell when the cell grid fits 23 bits (grids to
+    # ~2^24 samples): 1 gathered element per triangle instead of 4
+    # (~9 ms saved at a 2^22 grid).  Bigger grids keep the 4-slot
+    # staging gather.
+    nx1 = Sx // (ny * nz)  # nx - 1
+    ny1, nz1 = ny - 1, nz - 1
+    if nx1 * ny1 * nz1 < (1 << 23):
+        w = ((ci * ny1 + cj) * nz1 + ck) * 256 + cell_case
+        wt = w[ctri]
+        case_t = wt & 255
+        lin = wt >> 8
+        cx = lin // (ny1 * nz1)
+        rem = lin % (ny1 * nz1)
+        cy = rem // nz1
+        cz = rem % nz1
+    else:
+        cellpack = jnp.concatenate([ci, cj, ck, cell_case])
+        cd = cellpack[
+            jnp.concatenate(
+                [ctri + i * cell_capacity for i in range(4)]
+            )
+        ]
+        cx = cd[:capacity]
+        cy = cd[capacity : 2 * capacity]
+        cz = cd[2 * capacity : 3 * capacity]
+        case_t = cd[3 * capacity :]
 
     # gid = cx*sx + cy*sy + cz + K per vertex, coefficients from one row
     # gather of the trace-time-constant pack (row gathers move contiguous
@@ -539,27 +555,32 @@ def unpack_indexed(epack, fpack, grid_shape, dtype=np.float32):
     Sy = nx * (ny - 1) * nz
     eidx = epack[0].astype(np.int64)
     t = epack[1].view(np.float32) if epack.dtype == np.uint32 else epack[1]
-    ax = (eidx >= Sx).astype(np.int64) + (eidx >= Sx + Sy).astype(np.int64)
 
-    def decode(local, My, Mz):
+    # eidx ascends (stream compaction preserves order), so the three
+    # axis blocks are contiguous slices -- decode each with plain
+    # integer math instead of np.where chains over the whole array.
+    b0, b1 = np.searchsorted(eidx, [Sx, Sx + Sy])
+    ft = np.dtype(dtype)
+    vh32 = np.empty((len(eidx), 3), dtype=ft)
+    for a, (sl, base, My, Mz) in enumerate(
+        (
+            (slice(0, b0), 0, ny, nz),
+            (slice(b0, b1), Sx, ny - 1, nz),
+            (slice(b1, None), Sx + Sy, ny, nz - 1),
+        )
+    ):
+        local = eidx[sl] - base
         z = local % Mz
         rem = local // Mz
-        return rem // My, rem % My, z
-
-    d0 = decode(eidx, ny, nz)
-    d1 = decode(eidx - Sx, ny - 1, nz)
-    d2 = decode(eidx - Sx - Sy, ny, nz - 1)
-
-    def pick(i):
-        return np.where(ax == 0, d0[i], np.where(ax == 1, d1[i], d2[i]))
-
-    ft = np.dtype(dtype)
-    comps = []
-    for c, e in enumerate((pick(0), pick(1), pick(2))):
-        # Same op order and precision as the device: base.astype(f32)
-        # + t * (ax == c) in f32, widened to f64 only afterwards.
-        comps.append(e.astype(ft) + t.astype(ft) * (ax == c).astype(ft))
-    vh = np.stack(comps, axis=1).astype(np.float64)
+        exyz = (rem // My, rem % My, z)
+        for c in range(3):
+            # Same op order and precision as the device: base.astype(f32)
+            # + t * (axis == c) in f32, widened to f64 only afterwards.
+            comp = exyz[c].astype(ft)
+            if c == a:
+                comp = comp + t[sl].astype(ft)
+            vh32[sl, c] = comp
+    vh = vh32.astype(np.float64)
 
     if fpack.shape[0] == 3:
         fh = fpack.T.astype(np.int32)

@@ -120,6 +120,10 @@ def fingerprint(sdf, X, Y, Z, sparse):
     # which change every process -- strip them so checkpoints survive
     # restarts (function qualnames remain and identify the structure).
     h.update(re.sub(r"0x[0-9a-f]+", "", repr(treedef)).encode())
+    # ONE batched transfer for device-resident leaves: np.asarray per
+    # leaf costs a round trip each (~10 ms through a tunneled runtime,
+    # 300+ ms for a typical expression); host leaves pass through.
+    leaves = jax.device_get(leaves)
     for leaf in leaves:
         _feed_array(h, leaf)
     # Statics: every eval fn in the tree, including closure captures.

@@ -54,3 +54,22 @@ def test_speculative_indexed_output(one_device):
     verts, faces = f.generate_mesh(samples=2**15, verbose=False)
     np.testing.assert_array_equal(verts[faces.reshape(-1)], pts)
     assert len(np.unique(faces)) == len(verts)
+
+
+def test_counts_memo_repeat_and_invalidation(one_device):
+    """Repeat generate() hits the counts memo (no pre-emit sync) and
+    returns identical output + stats; parameter changes re-count."""
+    engine._COUNTS_MEMO.clear()
+    f = stp.sphere(1) & stp.box(1.5)
+    p1 = f.generate(samples=2**15, verbose=False)
+    st1 = dict(engine.LAST_STATS)
+    assert len(engine._COUNTS_MEMO) == 1
+    p2 = f.generate(samples=2**15, verbose=False)
+    st2 = dict(engine.LAST_STATS)
+    np.testing.assert_array_equal(p1, p2)
+    for k in ("skipped", "empty", "nonempty", "triangles"):
+        assert st1[k] == st2[k]
+    g = stp.sphere(1.2) & stp.box(1.5)
+    p3 = g.generate(samples=2**15, verbose=False)
+    assert len(engine._COUNTS_MEMO) == 2
+    assert len(p3) != len(p1)
