@@ -580,10 +580,19 @@ def generate(
         # expressions where fusion wins (deep CSG trees bound on HBM
         # traffic).
         from . import sparse as sparse_mod
+        from ..utils import checkpoint as ckpt_mod
 
         backend = jax.default_backend()
         want_pallas = use_pallas is True
         key = _pallas_key(sdf_c, dtype, ("tiles", len(X), len(Y)))
+        try:
+            # Uncast expression: host leaves hash without device round
+            # trips; the dtype is folded into the extras.
+            mkey = ckpt_mod.fingerprint(
+                sdf, X, Y, Z, ("tiles-counts", jnp.dtype(dtype).str, s)
+            )
+        except Exception:
+            mkey = None
         with _phase("sparse_tiles", stats):
             if want_pallas and (
                 use_pallas is True or key not in _PALLAS_BROKEN
@@ -592,7 +601,7 @@ def generate(
                     return sparse_mod.mesh_sparse_tiles(
                         sdf_c, X, Y, Z, skip, s, dtype,
                         use_pallas=True, interpret=(backend != "tpu"),
-                        return_indexed=True,
+                        return_indexed=True, memo_key=mkey,
                     )
                 except Exception:
                     if use_pallas is True:
@@ -602,10 +611,11 @@ def generate(
                     _PALLAS_BROKEN.add(key)
                     return sparse_mod.mesh_sparse_tiles(
                         sdf_c, X, Y, Z, skip, s, dtype,
-                        return_indexed=True,
+                        return_indexed=True, memo_key=mkey,
                     )
             return sparse_mod.mesh_sparse_tiles(
                 sdf_c, X, Y, Z, skip, s, dtype, return_indexed=True,
+                memo_key=mkey,
             )
 
     if mesh is not None and mesh.devices.size > 1:

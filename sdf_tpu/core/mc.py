@@ -582,18 +582,22 @@ def unpack_indexed(epack, fpack, grid_shape, dtype=np.float32):
             vh32[sl, c] = comp
     vh = vh32.astype(np.float64)
 
+    return vh, unpack_faces(fpack)
+
+
+def unpack_faces(fpack):
+    """Host decode of the (2|3, n) uint32 face wire format -> (n, 3)
+    int32 (shared by the dense and tiled packed paths)."""
     if fpack.shape[0] == 3:
-        fh = fpack.T.astype(np.int32)
-    else:
-        B = FACE_PACK_BITS
-        w0 = fpack[0].astype(np.uint64)
-        w1 = fpack[1].astype(np.uint64)
-        m = np.uint64((1 << B) - 1)
-        f0 = w0 & m
-        f1 = ((w0 >> np.uint64(B)) | (w1 << np.uint64(32 - B))) & m
-        f2 = (w1 >> np.uint64(2 * B - 32)) & m
-        fh = np.stack([f0, f1, f2], axis=1).astype(np.int32)
-    return vh, fh
+        return fpack.T.astype(np.int32)
+    B = FACE_PACK_BITS
+    w0 = fpack[0].astype(np.uint64)
+    w1 = fpack[1].astype(np.uint64)
+    m = np.uint64((1 << B) - 1)
+    f0 = w0 & m
+    f1 = ((w0 >> np.uint64(B)) | (w1 << np.uint64(32 - B))) & m
+    f2 = (w1 >> np.uint64(2 * B - 32)) & m
+    return np.stack([f0, f1, f2], axis=1).astype(np.int32)
 
 
 @partial(jax.jit, static_argnames=("tile",))

@@ -171,10 +171,11 @@ def _emit_tiles(vols, tiles, live, case, cshape, capacity, cell_capacity, tile):
 @partial(
     jax.jit,
     static_argnames=("cshape", "edge_capacity", "capacity", "cell_capacity",
-                     "tile"),
+                     "tile", "packed"),
 )
 def _emit_tiles_indexed(vols, tiles, live, case, emask, cshape,
-                        edge_capacity, capacity, cell_capacity, tile):
+                        edge_capacity, capacity, cell_capacity, tile,
+                        packed=False):
     """Tile-local indexed marching cubes: unique per-edge vertices (3,
     edge_capacity) in global fractional index coords + int32 faces (3,
     capacity) + triangle count.
@@ -233,15 +234,24 @@ def _emit_tiles_indexed(vols, tiles, live, case, emask, cshape,
     denom = va - vb
     # Same zero-crossing formula as interpolate_slots, term for term.
     t = jnp.clip(va / jnp.where(denom == 0, 1.0, denom), 0.0, 1.0)
-    trow = tiles[tid]  # (edge_capacity, 3) row gather
-    everts = jnp.stack(
-        [
-            (trow[:, 0] * tile + x).astype(dt) + t * (a == 0).astype(dt),
-            (trow[:, 1] * tile + y).astype(dt) + t * (a == 1).astype(dt),
-            (trow[:, 2] * tile + z).astype(dt) + t * (a == 2).astype(dt),
-        ],
-        axis=0,
-    )
+    if packed is not False:
+        # Wire format (see mc.emit_indexed_packed): (edge id, t bits);
+        # the host rebuilds positions with the same float32 ops below.
+        everts = jnp.stack(
+            [eidx.astype(jnp.uint32),
+             jax.lax.bitcast_convert_type(t, jnp.uint32)],
+            axis=0,
+        )
+    else:
+        trow = tiles[tid]  # (edge_capacity, 3) row gather
+        everts = jnp.stack(
+            [
+                (trow[:, 0] * tile + x).astype(dt) + t * (a == 0).astype(dt),
+                (trow[:, 1] * tile + y).astype(dt) + t * (a == 1).astype(dt),
+                (trow[:, 2] * tile + z).astype(dt) + t * (a == 2).astype(dt),
+            ],
+            axis=0,
+        )
 
     inv = compact.ranks_of(emf)
 
@@ -255,15 +265,19 @@ def _emit_tiles_indexed(vols, tiles, live, case, emask, cshape,
     ctri = tri_idx // MAX_TRIS_PER_CELL
     slot = tri_idx % MAX_TRIS_PER_CELL
 
-    cellpack = jnp.concatenate([t_of, li, lj, lk, cell_case])
-    cd = cellpack[
-        jnp.concatenate([ctri + i * cell_capacity for i in range(5)])
-    ]
+    # Element gathers cost ~8 ns each: pack (li, lj, lk, case) into one
+    # int32 word (23 bits at tile <= 32) so each triangle gathers 2
+    # elements (tile id + word) instead of 5.
+    w = ((li * tile + lj) * tile + lk) * 256 + cell_case
+    cellpack = jnp.concatenate([t_of, w])
+    cd = cellpack[jnp.concatenate([ctri, ctri + cell_capacity])]
     tt = cd[:capacity]
-    cx = cd[capacity : 2 * capacity]
-    cy = cd[2 * capacity : 3 * capacity]
-    cz = cd[3 * capacity : 4 * capacity]
-    case_t = cd[4 * capacity :]
+    wt = cd[capacity:]
+    case_t = wt & 255
+    loc = wt >> 8
+    cx = loc // (tile * tile)
+    cy = (loc // tile) % tile
+    cz = loc % tile
 
     tep = jnp.asarray(
         mc._gid_pack(
@@ -281,6 +295,15 @@ def _emit_tiles_indexed(vols, tiles, live, case, emask, cshape,
         for v in range(3)
     ]
     faces = inv[jnp.concatenate(gids)].reshape(3, capacity)
+    if packed is True:  # 21-bit face pack (vertex count fits)
+        f = faces.astype(jnp.uint32)
+        B = mc.FACE_PACK_BITS
+        lo_mask = jnp.uint32((1 << (32 - B)) - 1)
+        w0 = f[0] | (f[1] & lo_mask) << B
+        w1 = (f[1] >> (32 - B)) | f[2] << (2 * B - 32)
+        faces = jnp.stack([w0, w1], axis=0)
+    elif packed == "wide":
+        faces = faces.astype(jnp.uint32)
     return everts, faces, n_tris
 
 
@@ -294,9 +317,46 @@ def _eval_tiles_pallas(sdf, Xp, Yp, Zp, tiles, ntc, tile, interpret):
     )
 
 
+def unpack_tiles_indexed(epack, fpack, tiles_np, tile, dtype=np.float32):
+    """Host decode of the packed tiles emit (numpy): bit-identical to the
+    plain ``_emit_tiles_indexed`` outputs (same IEEE float32 ops)."""
+    TS = tile + 1
+    Sblk = tile * TS * TS
+    Stile = 3 * Sblk
+    eidx = epack[0].astype(np.int64)
+    t = epack[1].view(np.float32) if epack.dtype == np.uint32 else epack[1]
+    tid = eidx // Stile
+    block = eidx % Stile
+    a = block // Sblk
+    le = block % Sblk
+    ft = np.dtype(dtype)
+    vh32 = np.empty((len(eidx), 3), dtype=ft)
+    base = tiles_np[tid] * tile  # (ne, 3) int
+    dims = ((tile, TS, TS), (TS, tile, TS), (TS, TS, tile))
+    for av in range(3):
+        m = a == av
+        d0, d1, d2 = dims[av]
+        l = le[m]
+        z = l % d2
+        rem = l // d2
+        exyz = (rem // d1, rem % d1, z)
+        for c in range(3):
+            comp = (base[m, c] + exyz[c]).astype(ft)
+            if c == av:
+                comp = comp + t[m].astype(ft)
+            vh32[m, c] = comp
+    return vh32.astype(np.float64), mc.unpack_faces(fpack)
+
+
+# Memoized (n_tris, n_cells, n_edges) per engine-provided key + cull mask
+# + eval path: deterministic, so repeat runs skip the pre-emit sync and
+# fetch stats with the mesh readback (mirrors engine._COUNTS_MEMO).
+_COUNTS_MEMO = {}
+
+
 def mesh_sparse_tiles(sdf_c, X, Y, Z, skip, tile, dtype, chunk_tiles=128,
                       use_pallas=False, interpret=False,
-                      return_indexed=False):
+                      return_indexed=False, memo_key=None):
     """Tiled sparse pipeline: eval + marching cubes on active tiles only.
 
     Returns (verts (3T, 3) float64 in fractional index coords,
@@ -307,8 +367,12 @@ def mesh_sparse_tiles(sdf_c, X, Y, Z, skip, tile, dtype, chunk_tiles=128,
     ``tile`` (= engine batch_size) cells per tile per axis.
     ``use_pallas=True`` fuses per-tile evaluation and cell classification
     into one Pallas kernel (raises if the expression does not lower; the
-    engine handles fallback).
+    engine handles fallback).  ``memo_key`` (an expression+grid
+    fingerprint from the engine) enables count memoization across repeat
+    runs.
     """
+    import hashlib
+
     nx, ny, nz = len(X), len(Y), len(Z)
     cshape = (nx - 1, ny - 1, nz - 1)
 
@@ -354,29 +418,66 @@ def mesh_sparse_tiles(sdf_c, X, Y, Z, skip, tile, dtype, chunk_tiles=128,
         total, per_tile, ncell, case, nedge, emask = _count_tiles(
             vols, tiles_d, live_d, cshape, tile
         )
-    # One round trip for all three capacity counts.
-    n, ncl, ne = (int(v) for v in jax.device_get((total, ncell, nedge)))
-
+    # Counts are deterministic in (expression, grid, dtype, cull mask,
+    # eval path): on a memoized repeat run, skip the pre-emit sync and
+    # fetch per-tile stats WITH the mesh readback in one device_get.
+    ckey = cached = None
+    if memo_key is not None:
+        ckey = (
+            memo_key, bool(use_pallas), tile,
+            hashlib.sha256(np.ascontiguousarray(skip).tobytes()).hexdigest(),
+        )
+        cached = _COUNTS_MEMO.get(ckey)
     pt = np.zeros(skip.shape, dtype=np.int64)
-    per_tile_np = np.asarray(per_tile)[:nt]
-    pt[tuple(active.T)] = per_tile_np
+    if cached is not None:
+        n, ncl, ne = cached
+        per_tile_h = None
+    else:
+        # One round trip for all three capacity counts + stats.
+        n, ncl, ne, per_tile_h = jax.device_get(
+            (total, ncell, nedge, per_tile)
+        )
+        n, ncl, ne = int(n), int(ncl), int(ne)
+        if ckey is not None:
+            if len(_COUNTS_MEMO) > 256:
+                _COUNTS_MEMO.clear()
+            _COUNTS_MEMO[ckey] = (n, ncl, ne)
 
     if n == 0:
+        if per_tile_h is None:
+            per_tile_h = np.asarray(per_tile)
+        pt[tuple(active.T)] = per_tile_h[:nt]
         return empty(pt)
 
     capacity = round_capacity(n)
     cell_capacity = round_capacity(ncl)
     edge_capacity = round_capacity(ne)
+    # Packed wire format (8 B/vertex + 8 B/triangle; see
+    # mc.emit_indexed_packed) for float32 volumes; host decode is
+    # bit-identical to the plain indexed emit.
+    packed = False
+    if jnp.dtype(dtype) == jnp.float32:
+        packed = True if ne < (1 << mc.FACE_PACK_BITS) else "wide"
     everts, faces, _ = _emit_tiles_indexed(
         vols, tiles_d, live_d, case, emask, cshape, edge_capacity, capacity,
-        cell_capacity, tile,
+        cell_capacity, tile, packed=packed,
     )
-    # Indexed readback (half the soup bytes), soup reconstructed on host
-    # bit-identically to _emit_tiles (see _emit_tiles_indexed).  The
-    # emitted count always equals ``total`` (already fetched), so no
-    # extra scalar sync (~40 ms RTT on a tunneled runtime) is needed.
-    vh = np.asarray(everts[:, :ne], dtype=np.float64).T  # (ne, 3)
-    fh = np.asarray(faces[:, :n]).T  # (n, 3) int32
+    # Indexed readback (a third of the soup bytes); the emitted count
+    # always equals ``total`` (already fetched/memoized), so no extra
+    # scalar sync (~40 ms RTT on a tunneled runtime) is needed.
+    if per_tile_h is None:
+        eh, fh_raw, per_tile_h = jax.device_get(
+            (everts[:, :ne], faces[:, :n], per_tile)
+        )
+    else:
+        eh = np.asarray(everts[:, :ne])
+        fh_raw = np.asarray(faces[:, :n])
+    pt[tuple(active.T)] = per_tile_h[:nt]
+    if packed is not False:
+        vh, fh = unpack_tiles_indexed(eh, fh_raw, tiles, tile)
+    else:
+        vh = eh.astype(np.float64).T  # (ne, 3)
+        fh = fh_raw.T
     if return_indexed:
         return (vh, fh), pt
     return vh[fh.reshape(-1)], pt

@@ -338,3 +338,51 @@ def test_packed_wire_format_bit_identical():
         )
         np.testing.assert_array_equal(fh1, fh2)
         np.testing.assert_array_equal(vh1, vh2)
+
+
+def test_tiles_packed_wire_bit_identical():
+    """Packed tiles emit + unpack must reproduce the plain tiles emit
+    bit-for-bit (both face variants)."""
+    import jax.numpy as jnp
+    from sdf_tpu.core import sparse as sp
+
+    vol_np, lin = _sphere_volume(n=25)
+    nx = len(lin)
+    cshape = (nx - 1,) * 3
+    tile = 8
+    ntx = -(-cshape[0] // tile)
+    active = np.argwhere(np.ones((ntx,) * 3, dtype=bool))
+    nt = len(active)
+    ntc = mc.round_capacity(nt)
+    tiles = np.zeros((ntc, 3), dtype=np.int32)
+    tiles[:nt] = active
+    live = np.zeros((ntc,), dtype=bool)
+    live[:nt] = True
+    TS = tile + 1
+    ar = np.arange(TS)
+    vols = np.zeros((ntc, TS, TS, TS), dtype=np.float32)
+    for t in range(nt):
+        ix = np.clip(active[t][0] * tile + ar, 0, nx - 1)
+        iy = np.clip(active[t][1] * tile + ar, 0, nx - 1)
+        iz = np.clip(active[t][2] * tile + ar, 0, nx - 1)
+        vols[t] = vol_np[np.ix_(ix, iy, iz)]
+    vols = jnp.asarray(vols)
+    tiles_d, live_d = jnp.asarray(tiles), jnp.asarray(live)
+    total, per_tile, ncell, case, nedge, emask = sp._count_tiles(
+        vols, tiles_d, live_d, cshape, tile
+    )
+    n, ncl, ne = int(total), int(ncell), int(nedge)
+    cap, ccap, ecap = (mc.round_capacity(v) for v in (n, ncl, ne))
+    ev, fa, _ = sp._emit_tiles_indexed(
+        vols, tiles_d, live_d, case, emask, cshape, ecap, cap, ccap, tile
+    )
+    vh1 = np.asarray(ev[:, :ne]).astype(np.float64).T
+    fh1 = np.asarray(fa[:, :n]).T
+    for packed in (True, "wide"):
+        ep, fp = (np.asarray(a) for a in sp._emit_tiles_indexed(
+            vols, tiles_d, live_d, case, emask, cshape, ecap, cap, ccap,
+            tile, packed=packed,
+        )[:2])
+        vh2, fh2 = sp.unpack_tiles_indexed(ep[:, :ne], fp[:, :n], tiles, tile)
+        np.testing.assert_array_equal(fh1, fh2)
+        np.testing.assert_array_equal(vh1, vh2)
