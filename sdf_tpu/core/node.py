@@ -94,7 +94,17 @@ class Points:
 
     # --- elementwise arithmetic -----------------------------------------
     def _coerce(self, other):
-        """Other as a per-component sequence: Points, (dim,) vector, scalar."""
+        """Other as a per-component sequence: Points, (dim,) vector, scalar.
+
+        A 1-D array of length ``dim`` is always read as a parameter
+        vector (one entry per component).  A *field* array (one value
+        per point) of the same shape would be misread, which is only
+        possible when N == dim; the public ``_Node.__call__`` boundary
+        pads that case away, and the grid engine's broadcast views are
+        never 1-D, so library paths cannot hit it.  Custom code driving
+        ``Points`` directly on exactly ``dim`` points should broadcast
+        explicitly (e.g. ``Points(f, f, f)``).
+        """
         if isinstance(other, Points):
             return other.c
         shape = jnp.shape(other)
@@ -190,9 +200,17 @@ class _Node:
             return self.fn(self.params, p)
         # Public contract: (N, dim) -> (N, 1), matching ref sdf/d3.py:24-25.
         p = jnp.asarray(p)
+        n = p.shape[0] if p.ndim == 2 else None
+        if p.ndim == 2 and p.shape[0] == p.shape[1]:
+            # N == dim is the one ambiguous SoA case: a (dim,) field array
+            # inside an op is indistinguishable from a (dim,) parameter
+            # vector in Points._coerce.  Pad one duplicate row so field
+            # arrays are (dim+1,) and can never match the vector test.
+            p = jnp.concatenate([p, p[:1]], axis=0)
         pts = Points.from_array(p)
         d = self.fn(self.params, pts)
-        return jnp.broadcast_to(d, pts.bshape).reshape((-1, 1))
+        d = jnp.broadcast_to(d, pts.bshape).reshape((-1, 1))
+        return d if n is None or d.shape[0] == n else d[:n]
 
     # --- smooth-k tag (ref sdf/d3.py:38-40) ------------------------------
     def k(self, k=None):

@@ -110,3 +110,23 @@ def test_custom_closure_bug_surfaces_clearly():
     f = broken()
     with __import__("pytest").raises(AttributeError):
         f.generate(samples=2**9, verbose=False, use_pallas=False)
+
+
+def test_call_on_exactly_dim_points_unambiguous():
+    # N == dim is the one case where an SoA field array has the same
+    # shape as a (dim,) parameter vector; the __call__ boundary pads it
+    # away.  A field-dependent op must give the same answers at N=3 as
+    # within a larger batch (node.py Points._coerce).
+    f = st.sphere(1).twist(2.0) | st.box(1.1).bend(1.5)
+    p4 = np.random.RandomState(1).uniform(-1.5, 1.5, (4, 3))
+    d4 = np.asarray(f(p4)).reshape(-1)
+    d3 = np.asarray(f(p4[:3])).reshape(-1)
+    assert d3.shape == (3,)
+    np.testing.assert_allclose(d3, d4[:3], rtol=1e-6)
+    # 2D: N == 2
+    g = st.circle(1).elongate((0.3, 0.1))
+    p2 = np.random.RandomState(2).uniform(-1.5, 1.5, (3, 2))
+    d2 = np.asarray(g(p2[:2])).reshape(-1)
+    np.testing.assert_allclose(
+        d2, np.asarray(g(p2)).reshape(-1)[:2], rtol=1e-6
+    )
