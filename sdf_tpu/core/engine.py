@@ -25,6 +25,7 @@ three consecutive rows per triangle (ref sdf/core.py:128-150).
 
 from __future__ import annotations
 
+import hashlib
 import time
 
 import jax
@@ -582,9 +583,6 @@ def generate(
         from . import sparse as sparse_mod
         from ..utils import checkpoint as ckpt_mod
 
-        backend = jax.default_backend()
-        want_pallas = use_pallas is True
-        key = _pallas_key(sdf_c, dtype, ("tiles", len(X), len(Y)))
         try:
             # Uncast expression: host leaves hash without device round
             # trips; the dtype is folded into the extras.
@@ -594,28 +592,15 @@ def generate(
         except Exception:
             mkey = None
         with _phase("sparse_tiles", stats):
-            if want_pallas and (
-                use_pallas is True or key not in _PALLAS_BROKEN
-            ):
-                try:
-                    return sparse_mod.mesh_sparse_tiles(
-                        sdf_c, X, Y, Z, skip, s, dtype,
-                        use_pallas=True, interpret=(backend != "tpu"),
-                        return_indexed=True, memo_key=mkey,
-                    )
-                except Exception:
-                    if use_pallas is True:
-                        raise
-                    if len(_PALLAS_BROKEN) > 256:
-                        _PALLAS_BROKEN.clear()
-                    _PALLAS_BROKEN.add(key)
-                    return sparse_mod.mesh_sparse_tiles(
-                        sdf_c, X, Y, Z, skip, s, dtype,
-                        return_indexed=True, memo_key=mkey,
-                    )
+            # use_pallas=True means REQUIRED (the fused per-tile kernel;
+            # failures surface) -- there is no auto mode here because the
+            # kernel measured slower than XLA's chunked tile eval on v5e
+            # (see the note above).
             return sparse_mod.mesh_sparse_tiles(
-                sdf_c, X, Y, Z, skip, s, dtype, return_indexed=True,
-                memo_key=mkey,
+                sdf_c, X, Y, Z, skip, s, dtype,
+                use_pallas=(use_pallas is True),
+                interpret=(jax.default_backend() != "tpu"),
+                return_indexed=True, memo_key=mkey,
             )
 
     if mesh is not None and mesh.devices.size > 1:
@@ -738,10 +723,24 @@ def generate(
         try:
             # The UNCAST expression: its leaves live on the host, so
             # hashing needs no device transfers (the dtype is in the
-            # extras tuple, which is all cast() changes).
+            # extras tuple, which is all cast() changes).  The cull mask
+            # must be part of the key: sparse=False and sparse=True
+            # produce different keep masks (and therefore counts) for
+            # inexact SDFs, and both can reach here with speculate=False
+            # (e.g. via a single-device mesh=).  Speculative runs derive
+            # the mask deterministically from the expression, which the
+            # fingerprint already covers.
+            skip_tag = (
+                None
+                if speculate
+                else hashlib.sha256(
+                    np.ascontiguousarray(skip).tobytes()
+                ).hexdigest()
+            )
             ckey = ckpt_mod.fingerprint(
                 sdf, X, Y, Z,
-                ("counts", jnp.dtype(dtype).str, s, bool(speculate)),
+                ("counts", jnp.dtype(dtype).str, s, bool(speculate),
+                 skip_tag),
             )
         except Exception:
             ckey = None

@@ -80,60 +80,21 @@ def ntri_of(case):
     return nt.astype(jnp.int32).reshape(case.shape)
 
 
+@jax.jit
 def _cell_cases(volume, level=0.0):
-    """Case index per cell: bit c set iff corner c is inside (< level)."""
+    """Case index per cell: bit c set iff corner c is inside (< level).
+
+    Jitted: the engine's XLA-fallback path calls it eagerly, where the
+    9 full-grid slice/compare/or steps would otherwise dispatch one by
+    one with HBM temporaries; call sites already inside a trace simply
+    inline it.
+    """
     nx, ny, nz = volume.shape
     case = jnp.zeros((nx - 1, ny - 1, nz - 1), dtype=jnp.int32)
     for c, (ox, oy, oz) in enumerate(np.asarray(CORNER_OFFSETS)):
         corner = volume[ox : nx - 1 + ox, oy : ny - 1 + oy, oz : nz - 1 + oz]
         case = case | (jnp.int32(1 << c) * (corner < level).astype(jnp.int32))
     return case
-
-
-@jax.jit
-def active_count(case, cell_mask):
-    """Cheap phase 1: how many cells produce triangles.
-
-    A cell is active iff its corner signs are mixed (case not 0/255) and
-    it survives the cull mask -- a compare, not a table gather (NTRI
-    lookups over the full grid cost ~10 ns/cell on TPU; this runs at
-    memory bandwidth).  Returns (n_active_cells, active_mask).
-    """
-    active = cell_mask & (case != 0) & (case != 255)
-    return jnp.sum(active.astype(jnp.int32)), active
-
-
-@partial(jax.jit, static_argnames=("cell_capacity", "tile", "tshape"))
-def gather_active(volume, case, active, cell_capacity, tile, tshape):
-    """Phase 2: compact active cells and gather their per-cell data.
-
-    All O(grid) work is the Pallas stream compaction (core.compact);
-    table lookups, triangle totals and the reference's per-tile counters
-    (ref sdf/core.py:129-145) happen at ``cell_capacity`` size via
-    segment_sum.  Returns (total_tris, per_tile, n_cells, cell_state)
-    where ``cell_state`` feeds ``emit_gathered``.
-    """
-    cshape = case.shape
-    aflat = active.reshape(-1)
-    cell_idx = compact.indices_of(aflat, cell_capacity)
-    n_cells = jnp.sum(aflat.astype(jnp.int32))
-    live = jnp.arange(cell_capacity) < n_cells
-    cell_case = case.reshape(-1)[cell_idx]
-    cell_ntri = jnp.where(live, jnp.asarray(NTRI_TABLE)[cell_case], 0)
-    total = jnp.sum(cell_ntri)
-
-    ci, cj, ck = jnp.unravel_index(cell_idx, cshape)
-    tx, ty, tz = tshape
-    nseg = tx * ty * tz
-    tid = ((ci // tile) * ty + (cj // tile)) * tz + (ck // tile)
-    per_tile = jax.ops.segment_sum(
-        cell_ntri, jnp.where(live, tid, nseg), num_segments=nseg + 1
-    )[:nseg].reshape(tshape)
-
-    corner = _gather_corners(volume, ci, cj, ck)
-    base = (ci.astype(volume.dtype), cj.astype(volume.dtype),
-            ck.astype(volume.dtype))
-    return total, per_tile, n_cells, (corner, base, cell_case, cell_ntri)
 
 
 def _gather_corners(volume, ci, cj, ck):
@@ -151,15 +112,6 @@ def _gather_corners(volume, ci, cj, ck):
     )
     allv = volume.reshape(-1)[(lin0[None, :] + doff[:, None]).reshape(-1)]
     return list(allv.reshape(8, -1))
-
-
-@partial(jax.jit, static_argnames=("capacity", "cell_capacity"))
-def emit_gathered(cell_state, capacity, cell_capacity):
-    """Phase 3: interpolation + slot compaction on gathered cell data."""
-    corner, base, cell_case, cell_ntri = cell_state
-    return interpolate_slots(
-        corner, base, cell_case, cell_ntri, capacity, cell_capacity
-    )
 
 
 # ---------------------------------------------------------------------------
@@ -266,33 +218,6 @@ def compact_cells(case, active, cell_capacity):
     ci, cj, ck = jnp.unravel_index(cell_idx, cshape)
     return (ci.astype(jnp.int32), cj.astype(jnp.int32), ck.astype(jnp.int32),
             cell_case, cell_ntri)
-
-
-@partial(jax.jit, static_argnames=("cell_capacity", "tile", "tshape"))
-def gather_active_indexed(volume, case, active, cell_capacity, tile, tshape):
-    """Phase 2 for the indexed path: compact active cells + count edges.
-
-    Like ``gather_active`` but skips the corner-value gather (the indexed
-    emit interpolates per unique edge, not per cell corner) and
-    additionally returns the active-edge mask and its count, so the host
-    can size the static vertex buffer.  Returns
-    ``(total_tris, per_tile, n_edges, cell_state, edge_mask)``.
-    """
-    state = compact_cells(case, active, cell_capacity)
-    ci, cj, ck, _, cell_ntri = state
-    total = jnp.sum(cell_ntri)
-
-    # Dead (padding) cells carry cell_ntri == 0, so binning them into
-    # tile 0 adds nothing -- no live guard needed.
-    tx, ty, tz = tshape
-    tid = ((ci // tile) * ty + (cj // tile)) * tz + (ck // tile)
-    per_tile = jax.ops.segment_sum(
-        cell_ntri, tid, num_segments=tx * ty * tz
-    ).reshape(tshape)
-
-    emask = _edge_mask(volume, active)
-    n_edges = jnp.sum(emask.astype(jnp.int32))
-    return total, per_tile, n_edges, state, emask
 
 
 @partial(jax.jit, static_argnames=("tile", "tshape"))

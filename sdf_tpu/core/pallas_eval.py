@@ -274,13 +274,10 @@ def eval_and_classify_traced(sdf_c, X, Y, Zblk, bz=None, interpret=False):
             hybrid.to_recording_tree(sdf_c), X, Y, Zp[widx]
         )
         tree = hybrid.to_pallas_tree(sdf_c)
-    leaves, treedef = jax.tree_util.tree_flatten(tree)
-    leaves = [jnp.asarray(l, dtype=dtype) for l in leaves]
-    scalar = tuple(l.ndim == 0 for l in leaves)
-    leaves = [l.reshape(1) if l.ndim == 0 else l for l in leaves]
+    leaves, prep = _prep_tree(tree, dtype)
     return _pallas_invoke(
-        tuple(leaves), X, Y, Zw, _eval_root, treedef, scalar, nz, bz,
-        interpret, wins,
+        leaves, X, Y, Zw, prep["fn"], prep["treedef"], prep["scalar"],
+        nz, bz, interpret, wins,
     )
 
 

@@ -266,18 +266,32 @@ def _emit_tiles_indexed(vols, tiles, live, case, emask, cshape,
     slot = tri_idx % MAX_TRIS_PER_CELL
 
     # Element gathers cost ~8 ns each: pack (li, lj, lk, case) into one
-    # int32 word (23 bits at tile <= 32) so each triangle gathers 2
-    # elements (tile id + word) instead of 5.
-    w = ((li * tile + lj) * tile + lk) * 256 + cell_case
-    cellpack = jnp.concatenate([t_of, w])
-    cd = cellpack[jnp.concatenate([ctri, ctri + cell_capacity])]
-    tt = cd[:capacity]
-    wt = cd[capacity:]
-    case_t = wt & 255
-    loc = wt >> 8
-    cx = loc // (tile * tile)
-    cy = (loc // tile) % tile
-    cz = loc % tile
+    # int32 word so each triangle gathers 2 elements (tile id + word)
+    # instead of 5.  The word needs tile^3 * 256 distinct values, so the
+    # pack only fits int32 for tile <= 203 (generate(batch_size=) is the
+    # public knob behind ``tile``); larger tiles keep the 5-slot staging
+    # gather, mirroring mc._resolve_faces' guard.
+    if tile**3 * 256 <= 2**31:
+        w = ((li * tile + lj) * tile + lk) * 256 + cell_case
+        cellpack = jnp.concatenate([t_of, w])
+        cd = cellpack[jnp.concatenate([ctri, ctri + cell_capacity])]
+        tt = cd[:capacity]
+        wt = cd[capacity:]
+        case_t = wt & 255
+        loc = wt >> 8
+        cx = loc // (tile * tile)
+        cy = (loc // tile) % tile
+        cz = loc % tile
+    else:
+        cellpack = jnp.concatenate([t_of, li, lj, lk, cell_case])
+        cd = cellpack[
+            jnp.concatenate([ctri + i * cell_capacity for i in range(5)])
+        ]
+        tt = cd[:capacity]
+        cx = cd[capacity : 2 * capacity]
+        cy = cd[2 * capacity : 3 * capacity]
+        cz = cd[3 * capacity : 4 * capacity]
+        case_t = cd[4 * capacity :]
 
     tep = jnp.asarray(
         mc._gid_pack(

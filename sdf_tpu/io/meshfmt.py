@@ -15,7 +15,9 @@ def dedup(points):
     """Flat triangle soup (3T, 3) -> indexed mesh (V, 3), (T, 3)."""
     points = np.asarray(points, dtype=np.float64).reshape(-1, 3)
     verts, inverse = np.unique(points, axis=0, return_inverse=True)
-    return verts, inverse.reshape(-1, 3)
+    # int32 faces: the documented generate_mesh contract (np.unique's
+    # inverse is int64; triangle counts fit int32 by construction).
+    return verts, inverse.reshape(-1, 3).astype(np.int32)
 
 
 def write_mesh(path, points):

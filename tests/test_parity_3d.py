@@ -138,6 +138,20 @@ def test_easing(name):
 
 
 @pytest.mark.parametrize(
+    "name", ["in_elastic", "out_elastic", "in_out_elastic"]
+)
+def test_easing_k_keyword(name):
+    # The reference's elastic trio takes k= by keyword (ref
+    # sdf/ease.py:100-107); derived out_/in_out_ curves must pass it
+    # through, not just positionally.
+    t = np.linspace(0, 1, 501)
+    for k in (0.3, 0.5, 0.8):
+        ours = np.asarray(getattr(st.ease, name)(t, k=k))
+        theirs = getattr(ref.ease, name)(t, k=k)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-9, atol=1e-9)
+
+
+@pytest.mark.parametrize(
     "name", ["linear", "in_out_quad", "out_bounce", "in_out_elastic"]
 )
 def test_easing_inside_op(name):

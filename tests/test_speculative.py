@@ -73,3 +73,26 @@ def test_counts_memo_repeat_and_invalidation(one_device):
     p3 = g.generate(samples=2**15, verbose=False)
     assert len(engine._COUNTS_MEMO) == 2
     assert len(p3) != len(p1)
+
+
+def test_counts_memo_distinguishes_cull_masks(one_device):
+    """sparse=False and sparse=True reach the dense path with different
+    keep masks (speculate=False via mesh=); their count memo keys must
+    differ or an inexact SDF would reuse wrong buffer sizes."""
+    from jax.sharding import Mesh
+
+    engine._COUNTS_MEMO.clear()
+    f = stp.sphere(1) & stp.box(1.5)
+    # bounds/batch_size chosen so the probe cull removes a nonzero
+    # fraction below AUTO_TILES_THRESHOLD (0.42 here): the two runs'
+    # keep masks genuinely differ and both stay on the dense path.
+    kw = dict(
+        samples=2**18, batch_size=8, bounds=((-1.1,) * 3, (1.1,) * 3),
+        verbose=False,
+    )
+    f.generate(sparse=False, **kw)
+    assert len(engine._COUNTS_MEMO) == 1
+    m = Mesh(np.array(jax.devices()[:1]), ("z",))
+    f.generate(sparse=True, mesh=m, **kw)
+    assert "sparse_tiles" not in engine.LAST_STATS
+    assert len(engine._COUNTS_MEMO) == 2
