@@ -57,6 +57,11 @@ _TARGET_CHUNK_POINTS = 2**22
 # skip the pre-emit sync round trip entirely (see the dense path).
 _COUNTS_MEMO = {}
 
+# Probe-cull skip masks, keyed like _COUNTS_MEMO: the mask is
+# deterministic in (expression, grid, batch size, dtype), so repeat
+# non-speculative sparse runs skip the ~30-60 ms probe dispatch.
+_SKIP_MEMO = {}
+
 # Expression structures whose Pallas lowering failed (see generate()).
 # Keyed on a *structural fingerprint* (utils.checkpoint.structure_key):
 # rebuilding the same model yields fresh closure identities, so treedef
@@ -545,14 +550,27 @@ def generate(
     skip = None
     if not speculate:
         with _phase("skip_mask", stats):
-            skip = (
-                _skip_mask(sdf_c, X, Y, Z, s, dtype)
-                if sparse
-                else np.zeros(
+            if sparse:
+                from ..utils import checkpoint as ckpt_mod
+
+                try:
+                    skey = ckpt_mod.fingerprint(
+                        sdf, X, Y, Z, ("skip", jnp.dtype(dtype).str, s)
+                    )
+                except Exception:
+                    skey = None
+                skip = _SKIP_MEMO.get(skey) if skey is not None else None
+                if skip is None:
+                    skip = _skip_mask(sdf_c, X, Y, Z, s, dtype)
+                    if skey is not None:
+                        if len(_SKIP_MEMO) > 256:
+                            _SKIP_MEMO.clear()
+                        _SKIP_MEMO[skey] = skip
+            else:
+                skip = np.zeros(
                     (-(-len(X) // s), -(-len(Y) // s), -(-len(Z) // s)),
                     dtype=bool,
                 )
-            )
         bar.update(num_batches * 0.1)
 
     # Auto-sparsity: the reference never evaluates culled batches

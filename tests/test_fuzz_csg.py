@@ -113,3 +113,65 @@ def test_random_2d_expression_parity(seed):
         np.asarray(theirs(p)).reshape(-1),
         rtol=1e-9, atol=1e-9,
     )
+
+
+def _transform_exact(m, f, rng):
+    # Exact-SDF transforms only: the probe cull is provably conservative
+    # for exact SDFs, so every sparse mode must reproduce the dense mesh
+    # bit-for-bit.  (twist is inexact and may legitimately differ --
+    # ref README.md:171-178.)
+    c = rng.randint(4)
+    if c == 0:
+        return f.translate(rng.uniform(-0.8, 0.8, 3))
+    if c == 1:
+        return f.rotate(rng.uniform(0, 3.1), rng.uniform(0.1, 1, 3))
+    if c == 2:
+        return f.scale(rng.uniform(0.5, 2.0))
+    return f.dilate(rng.uniform(0.0, 0.2))
+
+
+def _build_exact(m, rng, depth):
+    if depth == 0:
+        return _leaf(m, rng)
+    c = rng.randint(3)
+    if c == 0:
+        return _transform_exact(m, _build_exact(m, rng, depth - 1), rng)
+    return _combine(
+        m,
+        _build_exact(m, rng, depth - 1),
+        _build_exact(m, rng, rng.randint(depth)),
+        rng,
+    )
+
+
+def _soup(pts):
+    return np.sort(np.asarray(pts).reshape(-1, 9), axis=0)
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_random_expression_sparse_modes_agree(seed):
+    """End-to-end: dense, speculative sparse=True, and sparse='tiles'
+    produce the same mesh for random exact-SDF expressions (the engine's
+    three execution paths share no code above mc.py, so this pins them
+    against each other).  Same triangle count exactly; vertex positions
+    to ~1 ulp of float32 (each path traces a different XLA program --
+    per-tile vs dense vs cull-fused evaluation -- so volume values can
+    differ in the last bit, shifting interpolated vertices by
+    O(1e-7))."""
+    f = _build_exact(st, np.random.RandomState(100 + seed), depth=3)
+    kw = dict(
+        samples=2**14, batch_size=8, verbose=False,
+        bounds=((-3.0,) * 3, (3.0,) * 3),
+    )
+    dense = f.generate(sparse=False, **kw)
+    if len(dense) == 0:
+        pytest.skip("surface outside fuzz bounds")
+    spec = f.generate(sparse=True, **kw)
+    tiles = f.generate(sparse="tiles", **kw)
+    assert len(spec) == len(dense) and len(tiles) == len(dense)
+    np.testing.assert_allclose(
+        _soup(dense), _soup(spec), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        _soup(dense), _soup(tiles), rtol=1e-5, atol=1e-6
+    )
