@@ -83,17 +83,8 @@ def extract(node, bounds, resolution=64, capacity=None, dtype=jnp.float32):
     observable as ``n > capacity`` (only ``capacity`` triangles are kept,
     ``valid`` flags them, and a warning fires via ``jax.debug.callback``).
     """
-    try:
-        rx, ry, rz = resolution
-    except TypeError:
-        rx = ry = rz = resolution
-    (x0, y0, z0), (x1, y1, z1) = bounds
-    if capacity is None:
-        capacity = 4 * max(rx, ry, rz) ** 2
-    origin = jnp.asarray([x0, y0, z0], dtype=dtype)
-    step = jnp.asarray(
-        [(x1 - x0) / (rx - 1), (y1 - y0) / (ry - 1), (z1 - z0) / (rz - 1)],
-        dtype=dtype,
+    (rx, ry, rz), capacity, origin, step = _resolve(
+        bounds, resolution, capacity, dtype
     )
     # Unit index grids (static shape); world coords formed inside jit so
     # origin/step stay differentiable inputs.
@@ -182,7 +173,7 @@ def extract_sharded(node, bounds, resolution=64, capacity=None,
         total = jnp.sum(
             mc.ntri_of(case) * keep.astype(jnp.int32)
         )
-        verts9, nn = mc.emit(vol, keep, cap_d)
+        verts9, nn = mc.emit(vol, keep, cap_d, case=case)
         verts9 = verts9.at[jnp.array([2, 5, 8]), :].add(
             (dev * c).astype(verts9.dtype)
         )

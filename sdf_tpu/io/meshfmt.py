@@ -27,6 +27,13 @@ def write_mesh(path, points):
 
 def write_indexed(path, verts, tris):
     lower = path.lower()
+    if lower.endswith(".stl"):
+        # Route to the in-tree binary writer so the write API mirrors
+        # read_mesh's .stl handling whether or not meshio is present.
+        from . import stl
+
+        stl.write_binary_stl(path, np.asarray(verts)[np.asarray(tris).ravel()])
+        return
     try:
         import meshio
 
@@ -92,7 +99,13 @@ def _read_obj(path):
             if parts[0] == "v":
                 verts.append([float(x) for x in parts[1:4]])
             elif parts[0] == "f":
-                idx = [int(p.split("/")[0]) - 1 for p in parts[1:]]
+                # OBJ indices are 1-based; negative values are relative
+                # to the vertices read SO FAR (valid per spec).
+                idx = [
+                    (j - 1) if (j := int(p.split("/")[0])) > 0
+                    else len(verts) + j
+                    for p in parts[1:]
+                ]
                 for i in range(1, len(idx) - 1):  # fan for polygons
                     tris.append([idx[0], idx[i], idx[i + 1]])
     return np.array(verts, dtype=np.float64), np.array(tris, dtype=np.int64)

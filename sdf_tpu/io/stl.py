@@ -50,6 +50,15 @@ def read_binary_stl(path):
             ("attr", "<H"),
         ]
     )
+    if len(data) < 84 + n * dtype.itemsize:
+        # An ASCII STL ("solid ...") parsed as binary yields an arbitrary
+        # count from text bytes; fail with a clear message instead of a
+        # frombuffer size error or silent garbage.
+        if data[:5] == b"solid" and b"facet" in data[:1024]:
+            raise ValueError(
+                "%r is an ASCII STL; only binary STL is supported" % path
+            )
+        raise ValueError("truncated binary STL %r" % path)
     a = np.frombuffer(data[84 : 84 + n * dtype.itemsize], dtype=dtype)
     from . import meshfmt
 

@@ -94,9 +94,12 @@ def _phase_count(sdf, X, Y, Zs, keep_xy, mesh, c, ncz, tile, n_z_tiles,
                  chunk_points, use_pallas=False, interpret=False):
     """Sharded phase 1: evaluate slabs, count triangles per cell.
 
-    Returns (vol, totals, per_tile): vol is the sharded evaluated volume
-    (ndev, nx, ny, c+1); totals (ndev,) triangle counts; per_tile the
-    global (tx, ty, tz) per-tile triangle counts (replicated).
+    Returns ``(vol, case, emask, nedges, gmax_t, gmax_c, gmax_e,
+    per_tile)``: the sharded evaluated volume (ndev, nx, ny, c+1) with
+    its per-slab classification and edge mask (reused by phase 2),
+    per-device edge counts (sized host readback), the replicated global
+    maxima that pick the static emit capacities, and the global
+    (tx, ty, tz) per-tile triangle counts (replicated via psum).
     """
 
     def body(X, Y, Zblk, keep_xy):
@@ -144,7 +147,6 @@ def _phase_count(sdf, X, Y, Zs, keep_xy, mesh, c, ncz, tile, n_z_tiles,
             vol[None],
             case[None],
             emask[None],
-            total[None],
             nedge[None],
             gmax_t,
             gmax_c,
@@ -156,7 +158,7 @@ def _phase_count(sdf, X, Y, Zs, keep_xy, mesh, c, ncz, tile, n_z_tiles,
         body,
         mesh=mesh,
         in_specs=(P(), P(), P(AXIS), P()),
-        out_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(), P(),
+        out_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(), P(),
                    P(), P()),
         # pallas_call's out_shapes carry no vma annotation; psum/pmax
         # still make the replicated outputs genuinely replicated.
@@ -203,6 +205,9 @@ def _phase_emit(vol, case, emask, keep_xy, mesh, c, ncz, tile, edge_capacity,
         mesh=mesh,
         in_specs=(P(AXIS), P(AXIS), P(AXIS), P()),
         out_specs=(P(AXIS), P(AXIS), P(AXIS)),
+        # compact.indices_of/ranks_of are pallas_calls on TPU, whose
+        # out_shapes carry no vma annotation -- same reason as phase 1.
+        check_vma=False,
     )(vol, case, emask, keep_xy)
 
 
@@ -247,7 +252,7 @@ def mesh_and_march(sdf_c, X, Y, Z, skip, tile, mesh, dtype,
     Zsd = jnp.asarray(Zs, dtype=dtype)
     keep_d = jnp.asarray(keep_xy)
 
-    vol, case, emask, totals, nedges, gmax_t, gmax_c, gmax_e, per_tile = (
+    vol, case, emask, nedges, gmax_t, gmax_c, gmax_e, per_tile = (
         _phase_count(
             sdf_c, Xd, Yd, Zsd, keep_d, mesh, c, ncz, tile,
             keep.shape[2], chunk_points, use_pallas, interpret,
@@ -269,50 +274,9 @@ def mesh_and_march(sdf_c, X, Y, Z, skip, tile, mesh, dtype,
         vol, case, emask, keep_d, mesh, c, ncz, tile, edge_capacity,
         capacity, cell_capacity,
     )
-    # Read back only this host's addressable shards: on a pod slice the
-    # other hosts' slabs are not locally fetchable (each host returns its
-    # local indexed mesh; assemble across hosts with
-    # parallel.gather_triangles).  Each slab transfers unique per-edge
-    # vertices + int32 faces (half the soup bytes); its soup is
-    # reconstructed here, bit-identical to mc.emit's (see mc.emit_indexed).
-    def shard_scalar(arr):
-        out = {}
-        for s in arr.addressable_shards:
-            out[s.index[0].start or 0] = int(np.asarray(s.data)[0])
-        return out
+    # Addressable-shard readback + assembly (shared with the sharded
+    # sparse path; multi-host contract documented in parallel.shards).
+    from .shards import assemble_indexed
 
-    cnt = shard_scalar(counts)
-    nedge = shard_scalar(nedges)
-    vparts = {}
-    for s in everts.addressable_shards:
-        i = s.index[0].start or 0
-        v = np.asarray(s.data, dtype=np.float64)[0]  # (3, edge_capacity)
-        vparts[i] = v[:, : nedge[i]].T  # (ne_i, 3)
-    order = sorted(
-        faces.addressable_shards, key=lambda s: s.index[0].start or 0
-    )
-    fparts = {}
-    for s in order:
-        i = s.index[0].start or 0
-        fparts[i] = np.asarray(s.data)[0][:, : cnt[i]].T  # (n_i, 3) int32
-    keys = [s.index[0].start or 0 for s in order]
-    if return_indexed:
-        offs = np.cumsum([0] + [len(vparts[i]) for i in keys[:-1]])
-        everts_h = (
-            np.concatenate([vparts[i] for i in keys], axis=0)
-            if keys else np.zeros((0, 3), np.float64)
-        )
-        faces_h = (
-            np.concatenate(
-                [fparts[i] + o for i, o in zip(keys, offs)], axis=0
-            ).astype(np.int32)
-            if keys else np.zeros((0, 3), np.int32)
-        )
-        return (everts_h, faces_h), np.asarray(per_tile)
-    parts = [vparts[i][fparts[i].reshape(-1)] for i in keys]
-    out = (
-        np.concatenate(parts, axis=0)
-        if parts
-        else np.zeros((0, 3), dtype=np.float64)
-    )
+    out = assemble_indexed(everts, faces, counts, nedges, return_indexed)
     return out, np.asarray(per_tile)

@@ -77,6 +77,9 @@ def _phase_emit(vols, case, emask, tiles, live, mesh, cshape, tile,
         mesh=mesh,
         in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
         out_specs=(P(AXIS), P(AXIS), P(AXIS)),
+        # compact.indices_of/ranks_of inside _emit_tiles_indexed are
+        # pallas_calls on TPU; their out_shapes carry no vma annotation.
+        check_vma=False,
     )(vols, case, emask, tiles, live)
 
 
@@ -149,47 +152,10 @@ def mesh_sparse_tiles_sharded(sdf_c, X, Y, Z, skip, tile, mesh, dtype,
         edge_capacity, capacity, cell_capacity,
     )
 
-    # Per-shard indexed readback (half the soup bytes); each shard's soup
-    # is reconstructed bit-identically to _emit_tiles's (device-major
-    # order unchanged).
-    def shard_scalar(arr):
-        out = {}
-        for s in arr.addressable_shards:
-            out[s.index[0].start or 0] = int(np.asarray(s.data)[0])
-        return out
+    # Per-shard indexed readback + assembly (shared with the z-slab
+    # path; each shard's soup is reconstructed bit-identically to
+    # _emit_tiles's, device-major order unchanged).
+    from .shards import assemble_indexed
 
-    cnt = shard_scalar(counts)
-    nedge = shard_scalar(nedges)
-    vparts = {}
-    for s in everts.addressable_shards:
-        i = s.index[0].start or 0
-        v = np.asarray(s.data, dtype=np.float64)[0]  # (3, edge_capacity)
-        vparts[i] = v[:, : nedge[i]].T
-    order = sorted(
-        faces.addressable_shards, key=lambda s: s.index[0].start or 0
-    )
-    fparts = {}
-    for s in order:
-        i = s.index[0].start or 0
-        fparts[i] = np.asarray(s.data)[0][:, : cnt[i]].T  # (n_i, 3) int32
-    keys = [s.index[0].start or 0 for s in order]
-    if return_indexed:
-        offs = np.cumsum([0] + [len(vparts[i]) for i in keys[:-1]])
-        everts_h = (
-            np.concatenate([vparts[i] for i in keys], axis=0)
-            if keys else np.zeros((0, 3), np.float64)
-        )
-        faces_h = (
-            np.concatenate(
-                [fparts[i] + o for i, o in zip(keys, offs)], axis=0
-            ).astype(np.int32)
-            if keys else np.zeros((0, 3), np.int32)
-        )
-        return (everts_h, faces_h), pt
-    parts = [vparts[i][fparts[i].reshape(-1)] for i in keys]
-    out = (
-        np.concatenate(parts, axis=0)
-        if parts
-        else np.zeros((0, 3), dtype=np.float64)
-    )
+    out = assemble_indexed(everts, faces, counts, nedges, return_indexed)
     return out, pt

@@ -174,3 +174,39 @@ def test_auto_sparsity_routes_to_tiles():
     # explicit opt-outs keep the dense path
     sdf_tpu.generate(f, sparse=False, mesh=mesh1, **kwargs)
     assert "auto_tiles" not in engine.LAST_STATS
+
+
+def test_sharded_phases_accept_pallas_kernels(monkeypatch):
+    """On TPU, compact.indices_of/ranks_of are pallas_calls whose
+    out_shapes carry no vma annotation; every shard_map wrapping them
+    must pass check_vma=False or multi-device generate() crashes at
+    trace time.  CPU CI normally takes the flatnonzero fallback and
+    never sees it -- force the interpret-mode kernels here so the
+    z-slab AND tile-sharded emit phases trace the same ops TPU would
+    (round-2 review finding)."""
+    from sdf_tpu.core import compact
+
+    calls = {"n": 0}
+
+    def fake_indices(m, cap, backend=None):
+        calls["n"] += 1
+        return compact.indices_of_pallas(m, cap, interpret=True)[0]
+
+    def fake_ranks(m, backend=None):
+        calls["n"] += 1
+        return compact.ranks_of_pallas(m, interpret=True)
+
+    monkeypatch.setattr(compact, "indices_of", fake_indices)
+    monkeypatch.setattr(compact, "ranks_of", fake_ranks)
+    jax.clear_caches()  # force retracing through the patched kernels
+    f = sdf_tpu.sphere(1)
+    kwargs = dict(samples=2**12, verbose=False)
+    mesh1 = pgrid.make_mesh(jax.devices()[:1])
+    p1 = sdf_tpu.generate(f, mesh=mesh1, **kwargs)
+    p8 = sdf_tpu.generate(f, mesh=pgrid.make_mesh(), **kwargs)
+    np.testing.assert_array_equal(_tri_set(p1), _tri_set(p8))
+    t1 = sdf_tpu.generate(f, mesh=mesh1, sparse="tiles", **kwargs)
+    t8 = sdf_tpu.generate(f, mesh=pgrid.make_mesh(), sparse="tiles", **kwargs)
+    np.testing.assert_array_equal(_tri_set(t1), _tri_set(t8))
+    assert calls["n"] > 0, "patched kernels never traced (vacuous test)"
+

@@ -322,3 +322,45 @@ def test_bounds_memo_keyed_on_expression():
     engine._estimate_bounds(st.circular_array(base, 4))
     engine._estimate_bounds(st.circular_array(base, 12))
     assert len(engine._BOUNDS_MEMO) == 4
+
+
+def test_write_mesh_stl_routes_to_builtin(tmp_path):
+    # write_mesh/.write_indexed must handle .stl via the in-tree binary
+    # writer (meshio-free envs included); read/write APIs are symmetric.
+    from sdf_tpu.io import meshfmt, stl
+
+    soup = np.array(
+        [[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]],
+        dtype=np.float64,
+    )
+    path = str(tmp_path / "m.stl")
+    meshfmt.write_mesh(path, soup)
+    v, tris = stl.read_binary_stl(path)
+    assert len(tris) == 2
+    np.testing.assert_allclose(
+        np.sort(v[tris.reshape(-1)], axis=0), np.sort(soup, axis=0)
+    )
+
+
+def test_read_obj_negative_relative_indices(tmp_path):
+    from sdf_tpu.io import meshfmt
+
+    path = str(tmp_path / "rel.obj")
+    with open(path, "w") as fp:
+        fp.write("v 0 0 0\nv 1 0 0\nv 0 1 0\nf -3 -2 -1\n")
+    v, tris = meshfmt._read_obj(path)
+    np.testing.assert_array_equal(tris, [[0, 1, 2]])
+
+
+def test_read_ascii_stl_clear_error(tmp_path):
+    from sdf_tpu.io import stl
+
+    path = str(tmp_path / "a.stl")
+    with open(path, "w") as fp:
+        fp.write(
+            "solid a\nfacet normal 0 0 1\nouter loop\n"
+            "vertex 0 0 0\nvertex 1 0 0\nvertex 0 1 0\n"
+            "endloop\nendfacet\nendsolid a\n"
+        )
+    with pytest.raises(ValueError, match="ASCII STL"):
+        stl.read_binary_stl(path)
