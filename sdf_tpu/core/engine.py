@@ -530,7 +530,13 @@ def generate(
     if checkpoint is not None:
         from ..utils import checkpoint as ckpt
 
-        fp = ckpt.fingerprint(sdf, X, Y, Z, (sparse, jnp.dtype(dtype).str))
+        # batch_size changes the cull granularity (different triangle
+        # set for inexact SDFs) and debug= changes the returned points:
+        # both must invalidate a cached mesh.
+        fp = ckpt.fingerprint(
+            sdf, X, Y, Z,
+            (sparse, jnp.dtype(dtype).str, s, bool(debug)),
+        )
         cached = ckpt.load(checkpoint, fp)
         if cached is not None:
             bar.done()
@@ -724,6 +730,7 @@ def generate(
         # count equals the fetched total, so the d2h slice needs no
         # further sync.
         tshape = tuple(-(-c // s) for c in cshape)
+        pallas_evaled = case is not None
         with _phase("mc_count", stats):
             if case is None:
                 case = mc._cell_cases(vol)
@@ -755,10 +762,14 @@ def generate(
                     np.ascontiguousarray(skip).tobytes()
                 ).hexdigest()
             )
+            # Mosaic and XLA can differ by 1 ulp on values near zero,
+            # flipping cell cases and counts, so the eval path (fused
+            # Pallas kernel vs XLA) is part of the key (the tiles memo
+            # does the same).
             ckey = ckpt_mod.fingerprint(
                 sdf, X, Y, Z,
                 ("counts", jnp.dtype(dtype).str, s, bool(speculate),
-                 skip_tag),
+                 skip_tag, pallas_evaled),
             )
         except Exception:
             ckey = None
@@ -833,8 +844,11 @@ def generate(
                     if skip is None:
                         skip = got[3]
                 else:
-                    eh = np.asarray(everts[:, :ne])
-                    fh = np.asarray(faces[:, :n])
+                    # One batched RPC (a separate np.asarray per array
+                    # costs a ~40 ms round trip each on a tunnel).
+                    eh, fh = jax.device_get(
+                        (everts[:, :ne], faces[:, :n])
+                    )
             if packed is not False:
                 indexed = mc.unpack_indexed(eh, fh, vol.shape)
             else:

@@ -117,6 +117,12 @@ _REC_WRAP = {}
 
 def _rec_wrapper(fn):
     if fn not in _REC_WRAP:
+        # Capped like the engine memos: every model construction makes
+        # fresh fn closures, so an unbounded map would pin one wrapper
+        # (and the texture/mesh data its closure reaches) per rebuild
+        # in a long-lived process.  Clearing only costs a retrace.
+        if len(_REC_WRAP) > 256:
+            _REC_WRAP.clear()
 
         def rec(q, p, _fn=fn):
             d = _fn(q, p)

@@ -192,15 +192,19 @@ def eval_tiles_and_classify(sdf_c, X, Y, Z, tiles, ntc, tile,
         # XLA pre-pass over per-tile coordinate windows only, so the
         # gather work still scales with the active-tile count.
         off = jnp.arange(TS)
-        Xw = X[tiles[:, 0] * tile + off[None, :]]
-        Yw = Y[tiles[:, 1] * tile + off[None, :]]
-        Zw = Z[tiles[:, 2] * tile + off[None, :]]
+        Xw = X[tiles[:, 0][:, None] * tile + off[None, :]]
+        Yw = Y[tiles[:, 1][:, None] * tile + off[None, :]]
+        Zw = Z[tiles[:, 2][:, None] * tile + off[None, :]]
         wins = hybrid.record_tile_windows(
             hybrid.to_recording_tree(sdf_c), Xw, Yw, Zw
         )
         tree = hybrid.to_pallas_tree(sdf_c)
     leaves, prep = _prep_tree(tree, X.dtype)
-    kern = partial(_tile_kernel, tile=tile, nvols=ngather, **prep)
+    # nvols = number of RECORDED FIELDS (child evaluations), not tree
+    # occurrences: a gather subtree under circular_array records 2
+    # fields, under padded repeat (2p+1)^3 -- the kernel must slice and
+    # the placeholders pop exactly len(wins).
+    kern = partial(_tile_kernel, tile=tile, nvols=len(wins), **prep)
     smem = lambda a: pl.BlockSpec(
         a.shape, lambda i: (0,) * a.ndim, memory_space=pltpu.SMEM
     )
@@ -255,14 +259,19 @@ def eval_and_classify_traced(sdf_c, X, Y, Zblk, bz=None, interpret=False):
     nx, ny, nz = X.shape[0], Y.shape[0], Zblk.shape[0]
     dtype = X.dtype
     ngather = hybrid.count_gathers(sdf_c)
-    if bz is None:
+    bz_given = bz is not None
+
+    def _blocks(bz):
+        nchunks = max(1, -(-nz // bz))
+        need = nchunks * bz + 1
+        Zp = jnp.concatenate(
+            [Zblk, jnp.full((need - nz,), Zblk[-1], dtype=Zblk.dtype)]
+        )
+        return nchunks, Zp
+
+    if not bz_given:
         bz = _pick_bz(nx, ny, dtype, ngather)
-    nchunks = max(1, -(-nz // bz))
-    need = nchunks * bz + 1
-    Zp = jnp.concatenate(
-        [Zblk, jnp.full((need - nz,), Zblk[-1], dtype=Zblk.dtype)]
-    )
-    Zw = Zp[None, :]
+    nchunks, Zp = _blocks(bz)
     wins = ()
     tree = sdf_c
     if ngather:
@@ -273,7 +282,23 @@ def eval_and_classify_traced(sdf_c, X, Y, Zblk, bz=None, interpret=False):
         wins = hybrid.record_dense_windows(
             hybrid.to_recording_tree(sdf_c), X, Y, Zp[widx]
         )
+        if not bz_given and len(wins) != ngather:
+            # The recorded field count is the child-EVALUATION count
+            # (circular_array doubles it, padded repeat multiplies it),
+            # and every field adds a (bz+1, nx, ny) block to the
+            # kernel's VMEM working set: re-pick bz against the true
+            # count and re-record over the new windows.
+            bz = _pick_bz(nx, ny, dtype, len(wins))
+            nchunks, Zp = _blocks(bz)
+            widx = (
+                np.arange(nchunks)[:, None] * bz
+                + np.arange(bz + 1)[None, :]
+            )
+            wins = hybrid.record_dense_windows(
+                hybrid.to_recording_tree(sdf_c), X, Y, Zp[widx]
+            )
         tree = hybrid.to_pallas_tree(sdf_c)
+    Zw = Zp[None, :]
     leaves, prep = _prep_tree(tree, dtype)
     return _pallas_invoke(
         leaves, X, Y, Zw, prep["fn"], prep["treedef"], prep["scalar"],
@@ -295,8 +320,9 @@ def eval_and_classify(sdf_c, X, Y, Z, dtype, bz=None, interpret=False):
     XLA path).  ``bz`` (z samples per block) defaults to whatever keeps a
     (bz+1, nx, ny) slab within ~8 MB of VMEM.
     """
-    if bz is None:
-        bz = _pick_bz(len(X), len(Y), dtype)
+    # bz=None passes through: eval_and_classify_traced picks it with the
+    # gather-field count folded into the VMEM budget (pre-picking here
+    # would size the budget as if the kernel held a single slab).
     return _eval_classify_jit(
         sdf_c,
         jnp.asarray(X, dtype=dtype),

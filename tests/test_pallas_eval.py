@@ -116,12 +116,18 @@ def test_fused_tile_kernel_matches_xla_tiles():
     import numpy as np
     import jax.numpy as jnp
     import sdf_tpu as st
+    import jax
+    from sdf_tpu.parallel.grid import make_mesh
 
     f = st.sphere(1) & st.box(1.5)
     c = st.cylinder(0.5)
     f -= c.orient(st.X) | c.orient(st.Y) | c.orient(st.Z)
     kw = dict(samples=2**14, verbose=False, dtype=jnp.float64,
-              bounds=((-1.05,) * 3, (1.05,) * 3), batch_size=8)
+              bounds=((-1.05,) * 3, (1.05,) * 3), batch_size=8,
+              mesh=make_mesh(jax.devices()[:1]))  # force the single-
+    # device tiles path: with 8 virtual devices generate() auto-meshes
+    # into the SHARDED tiles path, which ignores use_pallas (the fused
+    # tile kernel would never run -- vacuous test).
     a = f.generate(sparse="tiles", use_pallas=False, **kw)
     b = f.generate(sparse="tiles", use_pallas=True, **kw)
     assert len(a) == len(b)
@@ -185,12 +191,18 @@ def test_hybrid_gather_sparse_tiles():
     import numpy as np
     import jax.numpy as jnp
     import sdf_tpu as st
+    import jax
+    from sdf_tpu.parallel.grid import make_mesh
 
     g = np.meshgrid(np.linspace(-1, 1, 32), np.linspace(-1, 1, 32))
     img = (np.hypot(*g) < 0.7).astype(np.uint8) * 255
     f = st.image(img, width=1.5).extrude(0.5)
     kw = dict(samples=2**14, verbose=False, dtype=jnp.float64,
-              bounds=((-1.05,) * 3, (1.05,) * 3), batch_size=8)
+              bounds=((-1.05,) * 3, (1.05,) * 3), batch_size=8,
+              mesh=make_mesh(jax.devices()[:1]))  # force the single-
+    # device tiles path: with 8 virtual devices generate() auto-meshes
+    # into the SHARDED tiles path, which ignores use_pallas (the fused
+    # tile kernel would never run -- vacuous test).
     a = f.generate(sparse="tiles", use_pallas=False, **kw)
     b = f.generate(sparse="tiles", use_pallas=True, **kw)
     assert len(a) == len(b)
@@ -229,3 +241,29 @@ def test_sharded_pallas_hybrid_gather():
     assert ta.shape == tb.shape
     np.testing.assert_allclose(ta, tb, atol=1e-5)
     np.testing.assert_array_equal(np.asarray(pta), np.asarray(ptb))
+
+
+def test_hybrid_gather_sparse_tiles_multi_call_parent():
+    """Gather subtree under circular_array in the TILES kernel: the
+    recorded field count is the child-EVALUATION count (2 here), not the
+    tree-occurrence count (1) -- the kernel must slice len(wins) gather
+    refs or the placeholders pop an empty deque (review finding)."""
+    import numpy as np
+    import jax.numpy as jnp
+    import sdf_tpu as st
+    import jax
+    from sdf_tpu.parallel.grid import make_mesh
+
+    blade = st.polygon([(0.4, 0), (0.6, 0.1), (0.6, -0.1)]).extrude(0.2)
+    f = st.circular_array(blade, 6)
+    kw = dict(samples=2**13, verbose=False, dtype=jnp.float64,
+              bounds=((-0.8,) * 3, (0.8,) * 3), batch_size=8,
+              mesh=make_mesh(jax.devices()[:1]))  # see note above
+    a = f.generate(sparse="tiles", use_pallas=False, **kw)
+    b = f.generate(sparse="tiles", use_pallas=True, **kw)
+    assert len(a) == len(b) > 0
+    ta = np.asarray(a).reshape(-1, 9).round(6)
+    tb = np.asarray(b).reshape(-1, 9).round(6)
+    ta = ta[np.lexsort(ta.T[::-1])]
+    tb = tb[np.lexsort(tb.T[::-1])]
+    np.testing.assert_allclose(ta, tb, atol=1e-5)
