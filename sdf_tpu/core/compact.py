@@ -114,6 +114,132 @@ def indices_of_pallas(mask, capacity, interpret=False):
     return jnp.where(j < total, out, 0), total
 
 
+def _rowpack_ranks_kernel(m_ref, out_ref, p_ref):
+    """Row-pack AND inclusive lane prefix in one pass: the emit path needs
+    both the compacted indices (vertex order) and every element's rank
+    (face resolution) of the SAME edge mask, and the O(N) prefix work is
+    identical -- fusing halves the kernel passes over the mask."""
+    m = m_ref[...]  # (R, 128) int32 0/1
+    lane = jax.lax.broadcasted_iota(jnp.int32, (_R, _LANES), 1)
+    p = m
+    for k in (1, 2, 4, 8, 16, 32, 64):
+        p = p + jnp.where(lane >= k, pltpu.roll(p, k, 1), 0)
+    p_ref[...] = p
+    rank = lane + 1
+    lo = jnp.zeros((_R, _LANES), jnp.int32)
+    hi = jnp.full((_R, _LANES), _LANES, jnp.int32)
+    for _ in range(8):
+        mid = (lo + hi) // 2
+        v = jnp.take_along_axis(p, jnp.minimum(mid, _LANES - 1), axis=1)
+        go = v < rank
+        lo = jnp.where(go, mid + 1, lo)
+        hi = jnp.where(go, hi, mid)
+    base = pl.program_id(0) * (_R * _LANES)
+    subl = jax.lax.broadcasted_iota(jnp.int32, (_R, _LANES), 0)
+    val = base + subl * _LANES + jnp.minimum(lo, _LANES - 1)
+    out_ref[...] = jnp.where(rank <= p[:, _LANES - 1 :], val, 0)
+
+
+def indices_and_ranks_of_pallas(mask, capacity, interpret=False):
+    """Fused ``(indices_of(mask, capacity), ranks_of(mask))`` in one kernel
+    pass over the mask.  Returns (indices, ranks, count)."""
+    n = mask.shape[0]
+    rows = -(-n // _LANES)
+    rows_padded = -(-rows // _R) * _R
+    m2 = (
+        jnp.pad(mask.astype(jnp.int32), (0, rows_padded * _LANES - n))
+        .reshape(rows_padded, _LANES)
+    )
+    packed, p = pl.pallas_call(
+        _rowpack_ranks_kernel,
+        grid=(rows_padded // _R,),
+        in_specs=[pl.BlockSpec((_R, _LANES), lambda i: (i, 0))],
+        out_specs=[
+            pl.BlockSpec((_R, _LANES), lambda i: (i, 0)),
+            pl.BlockSpec((_R, _LANES), lambda i: (i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((rows_padded, _LANES), jnp.int32),
+            jax.ShapeDtypeStruct((rows_padded, _LANES), jnp.int32),
+        ],
+        interpret=interpret,
+    )(m2)
+
+    cnt = p[:, _LANES - 1]  # row totals fall out of the prefix
+    total = jnp.sum(cnt)
+    boff = jnp.cumsum(cnt) - cnt
+    ranks = (p + (boff[:, None] - 1)).reshape(-1)[:n]
+
+    pos = jnp.minimum(boff, capacity)
+    starts = jnp.zeros((capacity,), jnp.int32).at[pos].add(1, mode="drop")
+    fill = jnp.zeros((capacity,), jnp.int32).at[pos].max(boff, mode="drop")
+    row_of = jnp.cumsum(starts) - 1
+    off_of = jax.lax.cummax(fill)
+    j = jnp.arange(capacity, dtype=jnp.int32)
+    out = packed.reshape(-1)[row_of * _LANES + (j - off_of)]
+    return jnp.where(j < total, out, 0), ranks, total
+
+
+def indices_and_ranks_of(mask, capacity, backend=None):
+    """``(indices_of(mask, capacity), ranks_of(mask))`` with the O(N)
+    prefix work shared (one kernel pass on TPU instead of two)."""
+    if backend is None:
+        backend = jax.default_backend()
+    if backend == "tpu":
+        idx, ranks, _ = indices_and_ranks_of_pallas(mask, capacity)
+        return idx, ranks
+    return (
+        jnp.flatnonzero(mask, size=capacity, fill_value=0),
+        jnp.cumsum(mask.astype(jnp.int32)) - 1,
+    )
+
+
+def ragged_expand(counts, capacity, fill=None):
+    """Expand per-row ``counts`` into ``capacity`` (row, rank) pairs in
+    ascending (row, rank) order: output slot ``j < sum(counts)`` holds the
+    rank-th element of its source row.  Padding slots are (0, 0), matching
+    ``indices_of``'s fill.  Returns ``(row, rank, total)``.
+
+    Drop-in for the emit paths' slot compaction
+    (``indices_of(iota < counts[:, None], capacity)`` followed by
+    div/mod): this skips materializing the ``len(counts) * max`` slot
+    mask and its O(N) pack entirely -- only the scatter of ``len(counts)``
+    row starts and the O(capacity) cumsum/cummax tail remain, and the
+    div/mod per output slot becomes a subtract.
+
+    ``fill``: optional per-row NON-NEGATIVE int values, NON-DECREASING
+    along rows with the row picked at any tie being the one with the max
+    value (cell words over ascending compacted cell ids satisfy all
+    three).  Appends
+    ``fill[row]`` per output slot to the return tuple, computed by the
+    same scatter+cummax as ``rank`` -- i.e. a row-data broadcast WITHOUT
+    the per-slot element gather (~8 ns each on TPU).  Padding slots get
+    ``fill[0]``, matching what a 0-filled gather index would fetch.
+    """
+    counts = counts.astype(jnp.int32)
+    offs = jnp.cumsum(counts)
+    total = offs[-1]
+    boff = offs - counts
+    pos = jnp.minimum(boff, capacity)
+    starts = jnp.zeros((capacity,), jnp.int32).at[pos].add(1, mode="drop")
+    off_sc = jnp.zeros((capacity,), jnp.int32).at[pos].max(boff, mode="drop")
+    row = jnp.cumsum(starts) - 1
+    off = jax.lax.cummax(off_sc)
+    j = jnp.arange(capacity, dtype=jnp.int32)
+    live = j < total
+    out = (
+        jnp.where(live, row, 0),
+        jnp.where(live, j - off, 0),
+        total,
+    )
+    if fill is None:
+        return out
+    v = fill.astype(jnp.int32)
+    v_sc = jnp.zeros((capacity,), jnp.int32).at[pos].max(v, mode="drop")
+    filled = jax.lax.cummax(v_sc)
+    return out + (jnp.where(live, filled, v[0]),)
+
+
 def _rowprefix_kernel(m_ref, out_ref):
     m = m_ref[...]  # (R, 128) int32 0/1
     lane = jax.lax.broadcasted_iota(jnp.int32, (_R, _LANES), 1)

@@ -292,7 +292,9 @@ def _emit_indexed_core(volume, emask, cell_state, edge_capacity, capacity,
     Sy = nx * (ny - 1) * nz
 
     # --- one vertex per active edge -----------------------------------
-    eidx = compact.indices_of(emask, edge_capacity)
+    # One fused kernel pass yields both the compacted edge ids (vertex
+    # order) and every edge's rank (face resolution below).
+    eidx, inv = compact.indices_and_ranks_of(emask, edge_capacity)
 
     ax = (eidx >= Sx).astype(jnp.int32) + (eidx >= Sx + Sy).astype(jnp.int32)
 
@@ -325,7 +327,7 @@ def _emit_indexed_core(volume, emask, cell_state, edge_capacity, capacity,
     t = jnp.clip(va / jnp.where(denom == 0, 1.0, denom), 0.0, 1.0)
 
     faces, n_tris = _resolve_faces(
-        emask, cell_state, capacity, cell_capacity, ny, nz, Sx, Sy
+        inv, cell_state, capacity, cell_capacity, ny, nz, Sx, Sy
     )
     return eidx, ax, (ex, ey, ez), t, faces, n_tris
 
@@ -357,39 +359,30 @@ def emit_indexed(volume, emask, cell_state, edge_capacity, capacity,
     return everts, faces, n_tris
 
 
-def _resolve_faces(emask, cell_state, capacity, cell_capacity, ny, nz, Sx, Sy):
-    """Face resolution: per-triangle global edge ids -> compacted ranks."""
+def _resolve_faces(inv, cell_state, capacity, cell_capacity, ny, nz, Sx, Sy):
+    """Face resolution: per-triangle global edge ids -> compacted ranks.
+
+    ``inv`` maps global edge id -> compacted vertex rank (the ranks half
+    of ``compact.indices_and_ranks_of`` over the edge mask; a scatter of
+    arange over eidx instead measured 33 ms at a 2^22 grid vs ~2 ms for
+    the prefix-rank kernel)."""
     ci, cj, ck, cell_case, cell_ntri = cell_state
-
-    # --- inverse map: global edge id -> compacted vertex rank ---------
-    # ranks_of instead of scattering arange over eidx: the XLA scatter
-    # into the S-sized domain measured 33 ms at a 2^22 grid vs ~2 ms for
-    # the prefix-rank kernel (see compact.ranks_of).
-    inv = compact.ranks_of(emask)
-
-    # --- compact live slots FIRST, then resolve only real triangles ---
-    # (tri-major: 3 vertex-rank gathers per emitted triangle instead of
-    # 15 per active cell -- random element gathers are the cost here.)
-    slot_valid = (
-        jax.lax.broadcasted_iota(jnp.int32, (cell_capacity, MAX_TRIS_PER_CELL), 1)
-        < cell_ntri[:, None]
-    ).reshape(-1)
-    tri_idx = compact.indices_of(slot_valid, capacity)
-    n_tris = jnp.sum(slot_valid.astype(jnp.int32))
-    ctri = tri_idx // MAX_TRIS_PER_CELL
-    slot = tri_idx % MAX_TRIS_PER_CELL
 
     # Per-triangle cell data.  Element gathers cost ~8 ns each on TPU
     # regardless of table size, so pack (ci, cj, ck, case) into ONE
     # int32 word per cell when the cell grid fits 23 bits (grids to
-    # ~2^24 samples): 1 gathered element per triangle instead of 4
-    # (~9 ms saved at a 2^22 grid).  Bigger grids keep the 4-slot
-    # staging gather.
+    # ~2^24 samples).  The word is strictly increasing along compacted
+    # cells (ascending cell id * 256 dominates the case byte), so the
+    # slot expansion broadcasts it by scatter+cummax (ragged_expand's
+    # fill) -- the triangles need NO per-slot cell gather at all.
+    # Bigger grids keep the 4-slot staging gather.
     nx1 = Sx // (ny * nz)  # nx - 1
     ny1, nz1 = ny - 1, nz - 1
     if nx1 * ny1 * nz1 < (1 << 23):
         w = ((ci * ny1 + cj) * nz1 + ck) * 256 + cell_case
-        wt = w[ctri]
+        _, slot, n_tris, wt = compact.ragged_expand(
+            cell_ntri, capacity, fill=w
+        )
         case_t = wt & 255
         lin = wt >> 8
         cx = lin // (ny1 * nz1)
@@ -397,6 +390,9 @@ def _resolve_faces(emask, cell_state, capacity, cell_capacity, ny, nz, Sx, Sy):
         cy = rem // nz1
         cz = rem % nz1
     else:
+        # --- expand live slots, then resolve only real triangles ------
+        # (tri-major: gathers per emitted triangle, not per (cell, slot))
+        ctri, slot, n_tris = compact.ragged_expand(cell_ntri, capacity)
         cellpack = jnp.concatenate([ci, cj, ck, cell_case])
         cd = cellpack[
             jnp.concatenate(
@@ -680,18 +676,11 @@ def interpolate_slots(corner, base, cell_case, cell_ntri, capacity,
             for c in range(3):
                 comp[s][v * 3 + c] = flat[c * N + s * 3 + v]
 
-    # Compact live slots (small: cell_capacity * 5).
-    slot_valid = (
-        jax.lax.broadcasted_iota(jnp.int32, (cell_capacity, MAX_TRIS_PER_CELL), 1)
-        < cell_ntri[:, None]
-    ).reshape(-1)
-    tri_idx = compact.indices_of(slot_valid, capacity)
-    n_tris = jnp.sum(slot_valid.astype(jnp.int32))
-    # tri_idx is cell-major (cell*5 + slot); the staging arrays below are
-    # slot-major blocks, so remap.
-    g_idx = (tri_idx % MAX_TRIS_PER_CELL) * cell_capacity + (
-        tri_idx // MAX_TRIS_PER_CELL
-    )
+    # Expand live slots (ascending (cell, slot), the reference's order);
+    # the staging arrays below are slot-major blocks, so index as
+    # slot * cell_capacity + cell.
+    ctri, slot, n_tris = compact.ragged_expand(cell_ntri, capacity)
+    g_idx = slot * cell_capacity + ctri
     rows = []
     for j in range(9):
         staged = jnp.concatenate([comp[s][j] for s in range(MAX_TRIS_PER_CELL)])

@@ -209,7 +209,9 @@ def _emit_tiles_indexed(vols, tiles, live, case, emask, cshape,
 
     # --- one vertex per tile-local active edge ------------------------
     emf = emask.reshape(-1)
-    eidx = compact.indices_of(emf, edge_capacity)
+    # One fused kernel pass: compacted edge ids (vertex order) + every
+    # edge's rank (face resolution below).
+    eidx, inv = compact.indices_and_ranks_of(emf, edge_capacity)
     tid = eidx // Stile
     block = eidx % Stile
     a = block // Sblk
@@ -253,36 +255,28 @@ def _emit_tiles_indexed(vols, tiles, live, case, emask, cshape,
             axis=0,
         )
 
-    inv = compact.ranks_of(emf)
-
     # --- tri-major face resolution (see mc.emit_indexed) --------------
-    slot_valid = (
-        jax.lax.broadcasted_iota(jnp.int32, (cell_capacity, MAX_TRIS_PER_CELL), 1)
-        < cell_ntri[:, None]
-    ).reshape(-1)
-    tri_idx = compact.indices_of(slot_valid, capacity)
-    n_tris = jnp.sum(slot_valid.astype(jnp.int32))
-    ctri = tri_idx // MAX_TRIS_PER_CELL
-    slot = tri_idx % MAX_TRIS_PER_CELL
-
-    # Element gathers cost ~8 ns each: pack (li, lj, lk, case) into one
-    # int32 word so each triangle gathers 2 elements (tile id + word)
-    # instead of 5.  The word needs tile^3 * 256 distinct values, so the
-    # pack only fits int32 for tile <= 203 (generate(batch_size=) is the
-    # public knob behind ``tile``); larger tiles keep the 5-slot staging
-    # gather, mirroring mc._resolve_faces' guard.
+    # The tile id t_of is non-decreasing along compacted cells, so the
+    # slot expansion broadcasts it via ragged_expand's scatter+cummax
+    # fill; the tile-LOCAL word w is not monotone (it resets per tile),
+    # so it stays one element gather per triangle (~8 ns each).
+    # The word pack needs tile^3 * 256 distinct values, so it only fits
+    # int32 for tile <= 203 (generate(batch_size=) is the public knob
+    # behind ``tile``); larger tiles keep the staging gather, mirroring
+    # mc._resolve_faces' guard.
     if tile**3 * 256 <= 2**31:
+        ctri, slot, n_tris, tt = compact.ragged_expand(
+            cell_ntri, capacity, fill=t_of
+        )
         w = ((li * tile + lj) * tile + lk) * 256 + cell_case
-        cellpack = jnp.concatenate([t_of, w])
-        cd = cellpack[jnp.concatenate([ctri, ctri + cell_capacity])]
-        tt = cd[:capacity]
-        wt = cd[capacity:]
+        wt = w[ctri]
         case_t = wt & 255
         loc = wt >> 8
         cx = loc // (tile * tile)
         cy = (loc // tile) % tile
         cz = loc % tile
     else:
+        ctri, slot, n_tris = compact.ragged_expand(cell_ntri, capacity)
         cellpack = jnp.concatenate([t_of, li, lj, lk, cell_case])
         cd = cellpack[
             jnp.concatenate([ctri + i * cell_capacity for i in range(5)])

@@ -217,6 +217,76 @@ def test_indexed_emit_matches_soup_exactly():
         assert ne < 3 * nt
 
 
+def test_fused_indices_ranks_kernel():
+    """compact.indices_and_ranks_of_pallas (one kernel pass) must equal
+    the separate indices_of + ranks_of results bit-for-bit."""
+    import jax.numpy as jnp
+    from sdf_tpu.core import compact
+
+    rng = np.random.RandomState(7)
+    for n, frac in ((700, 0.2), (8192, 0.5), (40000, 0.02), (9000, 0.0)):
+        m = jnp.asarray(rng.rand(n) < frac)
+        na = int(m.sum())
+        cap = max(1, 1 << max(0, na - 1).bit_length()) + 256
+        idx, ranks, tot = compact.indices_and_ranks_of_pallas(
+            m, cap, interpret=True
+        )
+        assert int(tot) == na
+        np.testing.assert_array_equal(
+            np.asarray(idx),
+            np.asarray(jnp.flatnonzero(m, size=cap, fill_value=0)),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ranks),
+            np.asarray(jnp.cumsum(m.astype(jnp.int32)) - 1),
+        )
+
+
+def test_ragged_expand_matches_slot_compaction():
+    """compact.ragged_expand must reproduce the old slot-mask compaction
+    (ascending (row, rank) pairs, (0, 0) padding) across zero counts,
+    interleaved zeros, exact-fit, overage capacity, and OVERFLOW
+    (capacity < total must truncate to the first `capacity` slots --
+    diffmesh.extract relies on clean truncation)."""
+    import jax
+    import jax.numpy as jnp
+    from sdf_tpu.core import compact
+
+    rng = np.random.RandomState(9)
+    cases = [
+        (np.array([0, 0, 3, 0, 1, 5, 0], np.int32), 16),
+        (np.array([2, 2, 2], np.int32), 6),  # exact fit
+        (np.array([0, 0, 0], np.int32), 4),  # all empty
+        (np.array([3, 0, 4, 2, 5], np.int32), 7),  # OVERFLOW: 14 > 7
+        (rng.randint(0, 6, size=1000).astype(np.int32), 4096),
+        (rng.randint(0, 6, size=1000).astype(np.int32), 100),  # overflow
+    ]
+    for counts, cap in cases:
+        M = int(counts.max()) + 1 if counts.max() > 0 else 1
+        nrows = len(counts)
+        slot_valid = (
+            jax.lax.broadcasted_iota(jnp.int32, (nrows, M), 1)
+            < jnp.asarray(counts)[:, None]
+        ).reshape(-1)
+        tri_idx = jnp.flatnonzero(slot_valid, size=cap, fill_value=0)
+        want_row = np.asarray(tri_idx) // M
+        want_rank = np.asarray(tri_idx) % M
+        row, rank, total = compact.ragged_expand(jnp.asarray(counts), cap)
+        assert int(total) == int(counts.sum())
+        np.testing.assert_array_equal(np.asarray(row), want_row)
+        np.testing.assert_array_equal(np.asarray(rank), want_rank)
+
+        # fill= (scatter+cummax row-data broadcast) must equal the plain
+        # gather values[row] for a strictly-increasing non-negative fill
+        # (the cell-word contract), padding included (values[0]).
+        vals = np.cumsum(rng.randint(1, 9, size=nrows)).astype(np.int32)
+        r2, k2, t2, filled = compact.ragged_expand(
+            jnp.asarray(counts), cap, fill=jnp.asarray(vals)
+        )
+        np.testing.assert_array_equal(np.asarray(r2), want_row)
+        np.testing.assert_array_equal(np.asarray(filled), vals[want_row])
+
+
 def test_ranks_kernel_matches_cumsum():
     """compact.ranks_of (Pallas prefix-rank, interpret mode) must equal
     cumsum(mask) - 1 everywhere (True slots = compaction rank)."""
