@@ -46,8 +46,11 @@ _R = 64
 _LANES = 128
 
 
-def _rowpack_kernel(m_ref, out_ref):
-    m = m_ref[...]  # (R, 128) int32 0/1
+def _prefix_pack(m):
+    """Shared kernel body: inclusive lane prefix + row pack of one
+    (R, 128) mask block.  Returns ``(packed, p)`` where ``packed`` holds
+    front-packed global element indices (garbage lanes zeroed -- the
+    consumer masks by count) and ``p`` the inclusive per-row prefix."""
     lane = jax.lax.broadcasted_iota(jnp.int32, (_R, _LANES), 1)
     # Inclusive prefix sum along lanes: rotate-and-add (Hillis-Steele).
     p = m
@@ -63,12 +66,14 @@ def _rowpack_kernel(m_ref, out_ref):
         go = v < rank
         lo = jnp.where(go, mid + 1, lo)
         hi = jnp.where(go, hi, mid)
-    # Global element index of the q-th active in each row; garbage lanes
-    # (q >= row count) are zeroed -- the consumer masks by count anyway.
     base = pl.program_id(0) * (_R * _LANES)
     subl = jax.lax.broadcasted_iota(jnp.int32, (_R, _LANES), 0)
     val = base + subl * _LANES + jnp.minimum(lo, _LANES - 1)
-    out_ref[...] = jnp.where(rank <= p[:, _LANES - 1 :], val, 0)
+    return jnp.where(rank <= p[:, _LANES - 1 :], val, 0), p
+
+
+def _rowpack_kernel(m_ref, out_ref):
+    out_ref[...] = _prefix_pack(m_ref[...])[0]
 
 
 def _rowpack(mask2d, interpret=False):
@@ -85,33 +90,35 @@ def _rowpack(mask2d, interpret=False):
     )(mask2d)
 
 
-def indices_of_pallas(mask, capacity, interpret=False):
-    """Pallas path: indices of True in ``mask`` (1D), ascending, padded
-    with 0 to ``capacity``.  Returns (indices, count)."""
+def _pad_rows(mask):
+    """1D bool/int mask -> (rows_padded, 128) int32 block grid."""
     n = mask.shape[0]
     rows = -(-n // _LANES)
     rows_padded = -(-rows // _R) * _R
-    m2 = (
+    return (
         jnp.pad(mask.astype(jnp.int32), (0, rows_padded * _LANES - n))
         .reshape(rows_padded, _LANES)
     )
-    packed = _rowpack(m2, interpret=interpret)  # (rows_padded, 128)
 
-    cnt = m2.sum(axis=1, dtype=jnp.int32)  # (rows_padded,)
-    total = jnp.sum(cnt)
-    boff = jnp.cumsum(cnt) - cnt  # exclusive row offsets
 
-    # Ragged concat of the packed rows, gather-side: for output slot j,
-    # find its source row (the last row starting at or before j) and the
-    # rank within it.  starts/fill are scatters of only N/128 elements.
-    pos = jnp.minimum(boff, capacity)  # clamp once; drop handles the rest
-    starts = jnp.zeros((capacity,), jnp.int32).at[pos].add(1, mode="drop")
-    fill = jnp.zeros((capacity,), jnp.int32).at[pos].max(boff, mode="drop")
-    row_of = jnp.cumsum(starts) - 1
-    off_of = jax.lax.cummax(fill)
+def _ragged_concat(packed, cnt, capacity):
+    """Ragged concat of front-packed rows: output slot j takes the
+    rank-th packed element of its source row -- exactly ``ragged_expand``
+    over the row counts followed by one gather.  Returns (out, total)."""
+    row, rank, total = ragged_expand(cnt, capacity)
     j = jnp.arange(capacity, dtype=jnp.int32)
-    out = packed.reshape(-1)[row_of * _LANES + (j - off_of)]
+    out = packed.reshape(-1)[row * _LANES + rank]
     return jnp.where(j < total, out, 0), total
+
+
+def indices_of_pallas(mask, capacity, interpret=False):
+    """Pallas path: indices of True in ``mask`` (1D), ascending, padded
+    with 0 to ``capacity``.  Returns (indices, count)."""
+    m2 = _pad_rows(mask)
+    packed = _rowpack(m2, interpret=interpret)  # (rows_padded, 128)
+    out, total = _ragged_concat(packed, m2.sum(axis=1, dtype=jnp.int32),
+                                capacity)
+    return out, total
 
 
 def _rowpack_ranks_kernel(m_ref, out_ref, p_ref):
@@ -119,37 +126,15 @@ def _rowpack_ranks_kernel(m_ref, out_ref, p_ref):
     both the compacted indices (vertex order) and every element's rank
     (face resolution) of the SAME edge mask, and the O(N) prefix work is
     identical -- fusing halves the kernel passes over the mask."""
-    m = m_ref[...]  # (R, 128) int32 0/1
-    lane = jax.lax.broadcasted_iota(jnp.int32, (_R, _LANES), 1)
-    p = m
-    for k in (1, 2, 4, 8, 16, 32, 64):
-        p = p + jnp.where(lane >= k, pltpu.roll(p, k, 1), 0)
-    p_ref[...] = p
-    rank = lane + 1
-    lo = jnp.zeros((_R, _LANES), jnp.int32)
-    hi = jnp.full((_R, _LANES), _LANES, jnp.int32)
-    for _ in range(8):
-        mid = (lo + hi) // 2
-        v = jnp.take_along_axis(p, jnp.minimum(mid, _LANES - 1), axis=1)
-        go = v < rank
-        lo = jnp.where(go, mid + 1, lo)
-        hi = jnp.where(go, hi, mid)
-    base = pl.program_id(0) * (_R * _LANES)
-    subl = jax.lax.broadcasted_iota(jnp.int32, (_R, _LANES), 0)
-    val = base + subl * _LANES + jnp.minimum(lo, _LANES - 1)
-    out_ref[...] = jnp.where(rank <= p[:, _LANES - 1 :], val, 0)
+    out_ref[...], p_ref[...] = _prefix_pack(m_ref[...])
 
 
 def indices_and_ranks_of_pallas(mask, capacity, interpret=False):
-    """Fused ``(indices_of(mask, capacity), ranks_of(mask))`` in one kernel
-    pass over the mask.  Returns (indices, ranks, count)."""
+    """Fused ``(indices_of(mask, capacity), cumsum(mask) - 1)`` in one
+    kernel pass over the mask.  Returns (indices, ranks, count)."""
     n = mask.shape[0]
-    rows = -(-n // _LANES)
-    rows_padded = -(-rows // _R) * _R
-    m2 = (
-        jnp.pad(mask.astype(jnp.int32), (0, rows_padded * _LANES - n))
-        .reshape(rows_padded, _LANES)
-    )
+    m2 = _pad_rows(mask)
+    rows_padded = m2.shape[0]
     packed, p = pl.pallas_call(
         _rowpack_ranks_kernel,
         grid=(rows_padded // _R,),
@@ -166,23 +151,22 @@ def indices_and_ranks_of_pallas(mask, capacity, interpret=False):
     )(m2)
 
     cnt = p[:, _LANES - 1]  # row totals fall out of the prefix
-    total = jnp.sum(cnt)
-    boff = jnp.cumsum(cnt) - cnt
+    boff = jnp.cumsum(cnt) - cnt  # exclusive row offsets (N/128)
     ranks = (p + (boff[:, None] - 1)).reshape(-1)[:n]
-
-    pos = jnp.minimum(boff, capacity)
-    starts = jnp.zeros((capacity,), jnp.int32).at[pos].add(1, mode="drop")
-    fill = jnp.zeros((capacity,), jnp.int32).at[pos].max(boff, mode="drop")
-    row_of = jnp.cumsum(starts) - 1
-    off_of = jax.lax.cummax(fill)
-    j = jnp.arange(capacity, dtype=jnp.int32)
-    out = packed.reshape(-1)[row_of * _LANES + (j - off_of)]
-    return jnp.where(j < total, out, 0), ranks, total
+    out, total = _ragged_concat(packed, cnt, capacity)
+    return out, ranks, total
 
 
 def indices_and_ranks_of(mask, capacity, backend=None):
-    """``(indices_of(mask, capacity), ranks_of(mask))`` with the O(N)
-    prefix work shared (one kernel pass on TPU instead of two)."""
+    """``(indices_of(mask, capacity), cumsum(mask) - 1)`` with the O(N)
+    prefix work shared in ONE kernel pass on TPU.
+
+    The ranks half is the scatter-free inverse of ``indices_of``: for
+    True elements, ``ranks[i]`` is that element's index in the compacted
+    stream; for False elements the value is meaningless (one less than
+    the next True rank).  Consumers that would scatter compacted slots
+    back into the full domain gather from this instead (XLA scatter
+    costs ~10x a same-size gather on TPU)."""
     if backend is None:
         backend = jax.default_backend()
     if backend == "tpu":
@@ -207,14 +191,24 @@ def ragged_expand(counts, capacity, fill=None):
     row starts and the O(capacity) cumsum/cummax tail remain, and the
     div/mod per output slot becomes a subtract.
 
-    ``fill``: optional per-row NON-NEGATIVE int values, NON-DECREASING
-    along rows with the row picked at any tie being the one with the max
-    value (cell words over ascending compacted cell ids satisfy all
-    three).  Appends
+    ``fill``: optional per-row NON-NEGATIVE int values.  Appends
     ``fill[row]`` per output slot to the return tuple, computed by the
     same scatter+cummax as ``rank`` -- i.e. a row-data broadcast WITHOUT
     the per-slot element gather (~8 ns each on TPU).  Padding slots get
     ``fill[0]``, matching what a 0-filled gather index would fetch.
+
+    Fill invariant (the cummax tie-break): among rows scattering to the
+    same output position, the row that OWNS the position (the one whose
+    slots actually start there, i.e. the last of the tie group) must
+    carry the max ``fill`` value of the group, and values must be
+    non-decreasing across successive owners.  Rows with ``count == 0``
+    whose ``boff >= total`` scatter into the dead ``min(total,
+    capacity)`` position, which is masked -- so a non-monotone PADDING
+    TAIL of zero-count rows (how both emit callers pad: compacted cell
+    ids repeat index 0 past ``n_cells``) is safe, but a zero-count row
+    *between* live rows must not carry a larger value than the next
+    owner.  Production callers satisfy this with strictly increasing
+    words over compacted cells/tiles (live rows) + a dead tail.
     """
     counts = counts.astype(jnp.int32)
     offs = jnp.cumsum(counts)
@@ -238,62 +232,6 @@ def ragged_expand(counts, capacity, fill=None):
     v_sc = jnp.zeros((capacity,), jnp.int32).at[pos].max(v, mode="drop")
     filled = jax.lax.cummax(v_sc)
     return out + (jnp.where(live, filled, v[0]),)
-
-
-def _rowprefix_kernel(m_ref, out_ref):
-    m = m_ref[...]  # (R, 128) int32 0/1
-    lane = jax.lax.broadcasted_iota(jnp.int32, (_R, _LANES), 1)
-    p = m
-    for k in (1, 2, 4, 8, 16, 32, 64):
-        p = p + jnp.where(lane >= k, pltpu.roll(p, k, 1), 0)
-    out_ref[...] = p
-
-
-def _rowprefix(mask2d, interpret=False):
-    """(rows, 128) int32 mask -> per-row INCLUSIVE lane prefix sums."""
-    rows = mask2d.shape[0]
-    return pl.pallas_call(
-        _rowprefix_kernel,
-        grid=(rows // _R,),
-        in_specs=[pl.BlockSpec((_R, _LANES), lambda i: (i, 0))],
-        out_specs=pl.BlockSpec((_R, _LANES), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((rows, _LANES), jnp.int32),
-        interpret=interpret,
-    )(mask2d)
-
-
-def ranks_of_pallas(mask, interpret=False):
-    """Pallas path for ranks_of (see there)."""
-    n = mask.shape[0]
-    rows = -(-n // _LANES)
-    rows_padded = -(-rows // _R) * _R
-    m2 = (
-        jnp.pad(mask.astype(jnp.int32), (0, rows_padded * _LANES - n))
-        .reshape(rows_padded, _LANES)
-    )
-    p = _rowprefix(m2, interpret=interpret)  # (rows, 128) inclusive
-    cnt = p[:, _LANES - 1]  # row totals fall out of the prefix
-    boff = jnp.cumsum(cnt) - cnt  # exclusive row offsets (N/128 elements)
-    return (p + (boff[:, None] - 1)).reshape(-1)[:n]
-
-
-def ranks_of(mask, backend=None):
-    """Compaction rank of every element of 1D bool ``mask``: for True
-    elements, ``out[i]`` is that element's index in the compacted stream
-    (``== indices_of(mask, cap).tolist().index(i)``); for False elements
-    the value is meaningless (one less than the next True rank).  This is
-    the scatter-free inverse of ``indices_of``: consumers that would
-    scatter compacted slots back into the full domain gather from this
-    instead (XLA scatter costs ~10x a same-size gather on TPU).
-
-    Equivalent to ``jnp.cumsum(mask) - 1`` but with the O(N) prefix work
-    in the row-pack Pallas kernel; only an N/128 cumsum remains in XLA.
-    """
-    if backend is None:
-        backend = jax.default_backend()
-    if backend == "tpu":
-        return ranks_of_pallas(mask)
-    return jnp.cumsum(mask.astype(jnp.int32)) - 1
 
 
 def indices_of(mask, capacity, backend=None):

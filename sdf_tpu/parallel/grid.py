@@ -205,8 +205,9 @@ def _phase_emit(vol, case, emask, keep_xy, mesh, c, ncz, tile, edge_capacity,
         mesh=mesh,
         in_specs=(P(AXIS), P(AXIS), P(AXIS), P()),
         out_specs=(P(AXIS), P(AXIS), P(AXIS)),
-        # compact.indices_of/ranks_of are pallas_calls on TPU, whose
-        # out_shapes carry no vma annotation -- same reason as phase 1.
+        # compact.indices_of/indices_and_ranks_of are pallas_calls on
+        # TPU, whose out_shapes carry no vma annotation -- same reason
+        # as phase 1.
         check_vma=False,
     )(vol, case, emask, keep_xy)
 

@@ -77,8 +77,9 @@ def _phase_emit(vols, case, emask, tiles, live, mesh, cshape, tile,
         mesh=mesh,
         in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
         out_specs=(P(AXIS), P(AXIS), P(AXIS)),
-        # compact.indices_of/ranks_of inside _emit_tiles_indexed are
-        # pallas_calls on TPU; their out_shapes carry no vma annotation.
+        # compact.indices_of/indices_and_ranks_of inside
+        # _emit_tiles_indexed are pallas_calls on TPU; their out_shapes
+        # carry no vma annotation.
         check_vma=False,
     )(vols, case, emask, tiles, live)
 

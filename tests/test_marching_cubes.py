@@ -219,7 +219,7 @@ def test_indexed_emit_matches_soup_exactly():
 
 def test_fused_indices_ranks_kernel():
     """compact.indices_and_ranks_of_pallas (one kernel pass) must equal
-    the separate indices_of + ranks_of results bit-for-bit."""
+    flatnonzero + (cumsum - 1) bit-for-bit."""
     import jax.numpy as jnp
     from sdf_tpu.core import compact
 
@@ -288,15 +288,16 @@ def test_ragged_expand_matches_slot_compaction():
 
 
 def test_ranks_kernel_matches_cumsum():
-    """compact.ranks_of (Pallas prefix-rank, interpret mode) must equal
-    cumsum(mask) - 1 everywhere (True slots = compaction rank)."""
+    """The fused kernel's ranks half (Pallas prefix-rank, interpret mode)
+    must equal cumsum(mask) - 1 everywhere (True slots = compaction
+    rank), across sizes the other fused test doesn't cover."""
     import jax.numpy as jnp
     from sdf_tpu.core import compact
 
     rng = np.random.RandomState(5)
     for n, frac in ((500, 0.3), (8192, 0.9), (50001, 0.01), (4000, 0.0)):
         m = jnp.asarray(rng.rand(n) < frac)
-        got = compact.ranks_of_pallas(m, interpret=True)
+        _, got, _ = compact.indices_and_ranks_of_pallas(m, 8, interpret=True)
         ref = jnp.cumsum(m.astype(jnp.int32)) - 1
         np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 

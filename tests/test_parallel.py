@@ -177,9 +177,9 @@ def test_auto_sparsity_routes_to_tiles():
 
 
 def test_sharded_phases_accept_pallas_kernels(monkeypatch):
-    """On TPU, compact.indices_of/ranks_of are pallas_calls whose
-    out_shapes carry no vma annotation; every shard_map wrapping them
-    must pass check_vma=False or multi-device generate() crashes at
+    """On TPU, compact.indices_of/indices_and_ranks_of are pallas_calls
+    whose out_shapes carry no vma annotation; every shard_map wrapping
+    them must pass check_vma=False or multi-device generate() crashes at
     trace time.  CPU CI normally takes the flatnonzero fallback and
     never sees it -- force the interpret-mode kernels here so the
     z-slab AND tile-sharded emit phases trace the same ops TPU would
@@ -192,12 +192,15 @@ def test_sharded_phases_accept_pallas_kernels(monkeypatch):
         calls["n"] += 1
         return compact.indices_of_pallas(m, cap, interpret=True)[0]
 
-    def fake_ranks(m, backend=None):
+    def fake_indices_ranks(m, cap, backend=None):
         calls["n"] += 1
-        return compact.ranks_of_pallas(m, interpret=True)
+        idx, ranks, _ = compact.indices_and_ranks_of_pallas(
+            m, cap, interpret=True
+        )
+        return idx, ranks
 
     monkeypatch.setattr(compact, "indices_of", fake_indices)
-    monkeypatch.setattr(compact, "ranks_of", fake_ranks)
+    monkeypatch.setattr(compact, "indices_and_ranks_of", fake_indices_ranks)
     jax.clear_caches()  # force retracing through the patched kernels
     f = sdf_tpu.sphere(1)
     kwargs = dict(samples=2**12, verbose=False)
