@@ -379,6 +379,23 @@ def test_generate_mesh_matches_soup():
         f.generate(samples=2**12, output="mesh", checkpoint="/tmp/x.ckpt")
 
 
+def test_engine_routes_wide_wire_format(monkeypatch):
+    """generate() must fall back to the 'wide' (unpacked uint32 faces)
+    wire format when the vertex count can exceed the 21-bit pack limit,
+    with byte-identical output.  Forced by shrinking FACE_PACK_BITS so
+    the dense branch at engine.py takes the ne >= 2**bits route."""
+    import sdf_tpu as stp
+    from sdf_tpu.core import engine
+
+    f = stp.sphere(1) & stp.box(1.5)
+    kw = dict(samples=2**14, verbose=False)
+    want = f.generate(**kw)
+    monkeypatch.setattr(mc, "FACE_PACK_BITS", 2)
+    engine._COUNTS_MEMO.clear()  # re-run the routing branch, not the memo
+    got = f.generate(**kw)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_packed_wire_format_bit_identical():
     """emit_indexed_packed + unpack_indexed must reproduce emit_indexed's
     outputs bit-for-bit (both 21-bit and wide face variants)."""
