@@ -197,18 +197,13 @@ def ragged_expand(counts, capacity, fill=None):
     the per-slot element gather (~8 ns each on TPU).  Padding slots get
     ``fill[0]``, matching what a 0-filled gather index would fetch.
 
-    Fill invariant (the cummax tie-break): among rows scattering to the
-    same output position, the row that OWNS the position (the one whose
-    slots actually start there, i.e. the last of the tie group) must
-    carry the max ``fill`` value of the group, and values must be
-    non-decreasing across successive owners.  Rows with ``count == 0``
-    whose ``boff >= total`` scatter into the dead ``min(total,
-    capacity)`` position, which is masked -- so a non-monotone PADDING
-    TAIL of zero-count rows (how both emit callers pad: compacted cell
-    ids repeat index 0 past ``n_cells``) is safe, but a zero-count row
-    *between* live rows must not carry a larger value than the next
-    owner.  Production callers satisfy this with strictly increasing
-    words over compacted cells/tiles (live rows) + a dead tail.
+    Fill invariant (the cummax tie-break): ``fill`` must be
+    non-decreasing across rows with ``count > 0``, in row order.  Rows
+    with ``count == 0`` never scatter their value (they are redirected
+    out of bounds and dropped), so their ``fill`` entries are ignored --
+    zero-count rows may appear anywhere, including between live rows.
+    Production callers satisfy the live-row condition with strictly
+    increasing words over compacted cells/tiles.
     """
     counts = counts.astype(jnp.int32)
     offs = jnp.cumsum(counts)
@@ -229,7 +224,11 @@ def ragged_expand(counts, capacity, fill=None):
     if fill is None:
         return out
     v = fill.astype(jnp.int32)
-    v_sc = jnp.zeros((capacity,), jnp.int32).at[pos].max(v, mode="drop")
+    # Zero-count rows share their boff with the NEXT live row; letting
+    # them scatter would let a larger stray value win the cummax there.
+    # Redirect them out of bounds (dropped) so only live rows write.
+    posf = jnp.where(counts > 0, pos, capacity)
+    v_sc = jnp.zeros((capacity,), jnp.int32).at[posf].max(v, mode="drop")
     filled = jax.lax.cummax(v_sc)
     return out + (jnp.where(live, filled, v[0]),)
 

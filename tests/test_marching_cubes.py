@@ -286,6 +286,20 @@ def test_ragged_expand_matches_slot_compaction():
         np.testing.assert_array_equal(np.asarray(r2), want_row)
         np.testing.assert_array_equal(np.asarray(filled), vals[want_row])
 
+        # Zero-count rows may carry ARBITRARY fill values (they must be
+        # ignored, not win the cummax at the next owner's position): blow
+        # up every dead row's value and require the same gather result.
+        vals_hot = np.where(counts == 0, 10**6, vals).astype(np.int32)
+        *_, filled_hot = compact.ragged_expand(
+            jnp.asarray(counts), cap, fill=jnp.asarray(vals_hot)
+        )
+        want_fill = np.where(
+            np.arange(cap) < min(int(counts.sum()), cap),
+            vals_hot[want_row],
+            vals_hot[0],
+        )
+        np.testing.assert_array_equal(np.asarray(filled_hot), want_fill)
+
 
 def test_ranks_kernel_matches_cumsum():
     """The fused kernel's ranks half (Pallas prefix-rank, interpret mode)
