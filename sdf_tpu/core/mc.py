@@ -319,8 +319,11 @@ def _emit_indexed_core(volume, emask, cell_state, edge_capacity, capacity,
     vflat = volume.reshape(-1)
     lin_a = (ex * ny + ey) * nz + ez
     vstride = jnp.where(ax == 0, ny * nz, jnp.where(ax == 1, nz, 1))
-    va = vflat[lin_a]
-    vb = vflat[lin_a + vstride]
+    # ONE batched element gather for both endpoints (each gather op pays
+    # fixed overhead on TPU; same batching win as _gather_corners).
+    vab = vflat[jnp.concatenate([lin_a, lin_a + vstride])]
+    va = vab[: lin_a.shape[0]]
+    vb = vab[lin_a.shape[0] :]
     denom = va - vb
     # Same zero-crossing formula as interpolate_slots, term for term, so
     # positions match the soup path bit-for-bit.
