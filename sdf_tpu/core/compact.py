@@ -39,10 +39,11 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Rows of 128 lanes per kernel program: 64 keeps the block a comfortable
-# 32 KB of VMEM while amortizing per-program overhead (8k programs at a
-# 2^26-sample grid).
-_R = 64
+# Rows of 128 lanes per kernel program: 512 measured fastest on v5e
+# (8.4 -> 7.0 ms on a 12.6M mask vs 64 rows; bigger blocks amortize
+# per-program overhead, and 256 KB of VMEM per operand still leaves the
+# pipeline double-buffered).
+_R = 512
 _LANES = 128
 
 
@@ -101,13 +102,35 @@ def _pad_rows(mask):
     )
 
 
+def gather1d(table, idx):
+    """``table[idx]`` for 1D ``table``, via a row-of-128 gather plus a
+    one-hot lane combine on TPU.
+
+    XLA lowers a 1D element gather to ~11 ns/element on v5e regardless of
+    table size.  Reshaping the table to 128-wide rows (the native lane
+    width, so the reshape is layout-free -- narrower rows pad their minor
+    dim to 128 lanes, a 16x memory blowup), gathering whole rows, and
+    selecting the lane with a one-hot multiply-sum measures ~3-4x faster:
+    the row fetch is a contiguous 512 B move and the select fuses into
+    pure VPU work.  Exact for any dtype: the one-hot picks a single lane.
+    Non-TPU backends use the plain gather (bit-identical result).
+    """
+    if jax.default_backend() != "tpu":
+        return table[idx]
+    r = -(-table.shape[0] // _LANES)
+    t2 = jnp.pad(table, (0, r * _LANES - table.shape[0])).reshape(r, _LANES)
+    rows = t2[idx >> 7]
+    oh = jax.nn.one_hot(idx & (_LANES - 1), _LANES, dtype=table.dtype)
+    return jnp.sum(rows * oh, axis=1)
+
+
 def _ragged_concat(packed, cnt, capacity):
     """Ragged concat of front-packed rows: output slot j takes the
     rank-th packed element of its source row -- exactly ``ragged_expand``
     over the row counts followed by one gather.  Returns (out, total)."""
     row, rank, total = ragged_expand(cnt, capacity)
     j = jnp.arange(capacity, dtype=jnp.int32)
-    out = packed.reshape(-1)[row * _LANES + rank]
+    out = gather1d(packed.reshape(-1), row * _LANES + rank)
     return jnp.where(j < total, out, 0), total
 
 

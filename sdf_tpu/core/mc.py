@@ -141,6 +141,51 @@ _EDGE_ORIG = CORNER_OFFSETS[EDGE_CORNERS[:, 0]]  # (12, 3)
 # (256, MAX_TRIS, 3) cube-edge ids with padding clamped to edge 0.
 _TF3 = np.maximum(TRI_TABLE, 0)
 
+# (256, 3 * MAX_TRIS) cube-edge ids laid out [v * MAX_TRIS + slot]: the
+# per-(case, slot, vertex) lookup as ONE one-hot MXU matmul (entries <= 11
+# are bf16-exact), replacing a (capacity, 9) row gather that measured
+# ~9.5 ns/row on v5e (3.7 ms at 2^22).
+_EDGE_ID_TAB = np.concatenate(
+    [_TF3[:, :, v] for v in range(3)], axis=1
+).astype(np.float32)
+
+
+def _edge_ids_of(case_t, slot):
+    """Cube-edge ids of the three vertices of triangle ``slot`` of cell
+    case ``case_t``: three ``(n,)`` int32 arrays, via one one-hot matmul
+    (XLA fuses the one-hot into the matmul operand) + a slot select."""
+    nsl = MAX_TRIS_PER_CELL
+    oh = jax.nn.one_hot(case_t, 256, dtype=jnp.bfloat16)
+    ev = oh @ jnp.asarray(_EDGE_ID_TAB, jnp.bfloat16)  # (n, 3 * nsl)
+    sel = jax.nn.one_hot(slot, nsl, dtype=ev.dtype)
+    return [
+        jnp.sum(ev[:, v * nsl : (v + 1) * nsl] * sel, axis=1).astype(jnp.int32)
+        for v in range(3)
+    ]
+
+
+def _sel12(e, tab):
+    """12-entry constant-table lookup as a compare-select chain (pure VPU
+    work; an element gather would pay ~11 ns/element)."""
+    out = jnp.full(e.shape, int(tab[11]), jnp.int32)
+    for k in range(10, -1, -1):
+        out = jnp.where(e == k, int(tab[k]), out)
+    return out
+
+
+def _edge_gid(e, cx, cy, cz, ny, nz, Sx, Sy):
+    """Global edge id of cube edge ``e`` of the cell at ``(cx, cy, cz)``:
+    the axis/origin maps are 12-entry constants, so the whole map is
+    selects + integer math (see ``_gid_pack`` for the layout)."""
+    ax = _sel12(e, _EDGE_AXIS)
+    x = cx + _sel12(e, _EDGE_ORIG[:, 0])
+    y = cy + _sel12(e, _EDGE_ORIG[:, 1])
+    z = cz + _sel12(e, _EDGE_ORIG[:, 2])
+    my = jnp.where(ax == 1, ny - 1, ny)
+    mz = jnp.where(ax == 2, nz - 1, nz)
+    base = jnp.where(ax == 0, 0, jnp.where(ax == 1, Sx, Sx + Sy))
+    return base + (x * my + y) * mz + z
+
 
 def _gid_pack(strides, bases):
     """Per (case, slot): packed edge-id coefficients for the three
@@ -165,15 +210,6 @@ def _gid_pack(strides, bases):
         np.stack([sx, sy, k], axis=-1)
         .reshape(256 * MAX_TRIS_PER_CELL, 9)
         .astype(np.int32)
-    )
-
-
-def _tri_gid_pack(ny, nz, Sx, Sy):
-    """Dense-grid instance of ``_gid_pack`` (x/y/z edge blocks of a full
-    (nx, ny, nz) sample grid, flattened back to back)."""
-    return _gid_pack(
-        [(ny * nz, nz), ((ny - 1) * nz, nz), (ny * (nz - 1), nz - 1)],
-        [0, Sx, Sx + Sy],
     )
 
 
@@ -213,8 +249,8 @@ def compact_cells(case, active, cell_capacity):
     cell_idx = compact.indices_of(aflat, cell_capacity)
     n_cells = jnp.sum(aflat.astype(jnp.int32))
     live = jnp.arange(cell_capacity) < n_cells
-    cell_case = case.reshape(-1)[cell_idx]
-    cell_ntri = jnp.where(live, jnp.asarray(NTRI_TABLE)[cell_case], 0)
+    cell_case = compact.gather1d(case.reshape(-1), cell_idx)
+    cell_ntri = jnp.where(live, ntri_of(cell_case), 0)
     ci, cj, ck = jnp.unravel_index(cell_idx, cshape)
     return (ci.astype(jnp.int32), cj.astype(jnp.int32), ck.astype(jnp.int32),
             cell_case, cell_ntri)
@@ -319,9 +355,10 @@ def _emit_indexed_core(volume, emask, cell_state, edge_capacity, capacity,
     vflat = volume.reshape(-1)
     lin_a = (ex * ny + ey) * nz + ez
     vstride = jnp.where(ax == 0, ny * nz, jnp.where(ax == 1, nz, 1))
-    # ONE batched element gather for both endpoints (each gather op pays
-    # fixed overhead on TPU; same batching win as _gather_corners).
-    vab = vflat[jnp.concatenate([lin_a, lin_a + vstride])]
+    # ONE batched row-of-128 gather for both endpoints (see gather1d; a
+    # dense all-edges t + compacted fetch was also tried and measured
+    # slower -- 12.6M f32 divides cost ~3.4 ms on v5e).
+    vab = compact.gather1d(vflat, jnp.concatenate([lin_a, lin_a + vstride]))
     va = vab[: lin_a.shape[0]]
     vb = vab[lin_a.shape[0] :]
     denom = va - vb
@@ -407,16 +444,11 @@ def _resolve_faces(inv, cell_state, capacity, cell_capacity, ny, nz, Sx, Sy):
         cz = cd[2 * capacity : 3 * capacity]
         case_t = cd[3 * capacity :]
 
-    # gid = cx*sx + cy*sy + cz + K per vertex, coefficients from one row
-    # gather of the trace-time-constant pack (row gathers move contiguous
-    # rows -- bandwidth-bound, unlike element gathers).
-    tep = jnp.asarray(_tri_gid_pack(ny, nz, Sx, Sy))
-    row = tep[case_t * MAX_TRIS_PER_CELL + slot]  # (capacity, 9)
-    gids = [
-        cx * row[:, 3 * v] + cy * row[:, 3 * v + 1] + cz + row[:, 3 * v + 2]
-        for v in range(3)
-    ]
-    faces = inv[jnp.concatenate(gids)].reshape(3, capacity)
+    # Cube-edge ids per vertex from the one-hot matmul, the edge -> global
+    # edge id map as VPU selects, then ONE batched rank lookup.
+    ev = _edge_ids_of(case_t, slot)
+    gids = [_edge_gid(ev[v], cx, cy, cz, ny, nz, Sx, Sy) for v in range(3)]
+    faces = compact.gather1d(inv, jnp.concatenate(gids)).reshape(3, capacity)
     return faces, n_tris
 
 
