@@ -18,8 +18,9 @@ XLA scatter touches N/128 elements:
   2. **XLA ragged concat**: row counts come from a dense reduce; row
      offsets from a tiny cumsum (N/128); each output slot finds its
      source row via a scatter of the N/128 row starts into the capacity-
-     sized output domain followed by cumsum (for the row id) and cummax
-     (for the row offset), then ONE gather of ``capacity`` elements.
+     sized output domain followed by cumsum, fetches the row's start
+     offset by a row-of-128 gather, then ONE gather of ``capacity``
+     elements for the payload.
 
 Cost scales as O(N) VPU + O(N/128) scatter + O(capacity) gather: measured
 ~6 ms at N = 4.2M vs 81 ms for flatnonzero-with-table-gather it replaces.
@@ -102,7 +103,7 @@ def _pad_rows(mask):
     )
 
 
-def gather1d(table, idx):
+def gather1d(table, idx, _force_rows=False):
     """``table[idx]`` for 1D ``table``, via a row-of-128 gather plus a
     one-hot lane combine on TPU.
 
@@ -110,18 +111,23 @@ def gather1d(table, idx):
     table size.  Reshaping the table to 128-wide rows (the native lane
     width, so the reshape is layout-free -- narrower rows pad their minor
     dim to 128 lanes, a 16x memory blowup), gathering whole rows, and
-    selecting the lane with a one-hot multiply-sum measures ~3-4x faster:
+    selecting the lane with a one-hot select-sum measures ~3-4x faster:
     the row fetch is a contiguous 512 B move and the select fuses into
-    pure VPU work.  Exact for any dtype: the one-hot picks a single lane.
-    Non-TPU backends use the plain gather (bit-identical result).
+    pure VPU work.  The select (not multiply) keeps non-finite table
+    values in OTHER lanes of a fetched row from leaking NaN into the
+    result (Inf * 0 == NaN), so it is exact for any dtype and any values.
+    Non-TPU backends use the plain gather (bit-identical result);
+    ``_force_rows`` exercises the row path in CPU tests.
     """
-    if jax.default_backend() != "tpu":
+    if jax.default_backend() != "tpu" and not _force_rows:
         return table[idx]
     r = -(-table.shape[0] // _LANES)
     t2 = jnp.pad(table, (0, r * _LANES - table.shape[0])).reshape(r, _LANES)
     rows = t2[idx >> 7]
-    oh = jax.nn.one_hot(idx & (_LANES - 1), _LANES, dtype=table.dtype)
-    return jnp.sum(rows * oh, axis=1)
+    oh = jax.lax.broadcasted_iota(jnp.int32, rows.shape, 1) == (
+        idx & (_LANES - 1)
+    )[:, None]
+    return jnp.sum(jnp.where(oh, rows, 0), axis=1)
 
 
 def _ragged_concat(packed, cnt, capacity):
@@ -210,23 +216,24 @@ def ragged_expand(counts, capacity, fill=None):
     Drop-in for the emit paths' slot compaction
     (``indices_of(iota < counts[:, None], capacity)`` followed by
     div/mod): this skips materializing the ``len(counts) * max`` slot
-    mask and its O(N) pack entirely -- only the scatter of ``len(counts)``
-    row starts and the O(capacity) cumsum/cummax tail remain, and the
-    div/mod per output slot becomes a subtract.
+    mask and its O(N) pack entirely.  ONE scatter-add of ``len(counts)``
+    row starts + a cumsum gives every slot its source row; the row's
+    start offset (for the rank) and optional payload then arrive by a
+    batched ``gather1d`` -- measured ~20% faster than the previous
+    scatter-max + cummax broadcast at emit shapes on v5e, and it drops
+    that variant's fill-monotonicity invariant (the gather reads the
+    true source row, no tie-break).
 
-    ``fill``: optional per-row NON-NEGATIVE int values.  Appends
-    ``fill[row]`` per output slot to the return tuple, computed by the
-    same scatter+cummax as ``rank`` -- i.e. a row-data broadcast WITHOUT
-    the per-slot element gather (~8 ns each on TPU).  Padding slots get
-    ``fill[0]``, matching what a 0-filled gather index would fetch.
+    Source-row resolution with zero-count rows: every zero-count row
+    shares its ``boff`` scatter slot with the NEXT live row, which has a
+    higher row index, so the ``cumsum(starts) - 1`` "last row at this
+    slot" rule always lands live slots on live rows; zero-count rows can
+    appear anywhere, including between live rows.
 
-    Fill invariant (the cummax tie-break): ``fill`` must be
-    non-decreasing across rows with ``count > 0``, in row order.  Rows
-    with ``count == 0`` never scatter their value (they are redirected
-    out of bounds and dropped), so their ``fill`` entries are ignored --
-    zero-count rows may appear anywhere, including between live rows.
-    Production callers satisfy the live-row condition with strictly
-    increasing words over compacted cells/tiles.
+    ``fill``: optional per-row int32 values (any values -- no ordering
+    requirement).  Appends ``fill[row]`` per output slot to the return
+    tuple; padding slots get ``fill[0]``, matching what a 0-filled
+    gather index would fetch.
     """
     counts = counts.astype(jnp.int32)
     offs = jnp.cumsum(counts)
@@ -234,26 +241,21 @@ def ragged_expand(counts, capacity, fill=None):
     boff = offs - counts
     pos = jnp.minimum(boff, capacity)
     starts = jnp.zeros((capacity,), jnp.int32).at[pos].add(1, mode="drop")
-    off_sc = jnp.zeros((capacity,), jnp.int32).at[pos].max(boff, mode="drop")
     row = jnp.cumsum(starts) - 1
-    off = jax.lax.cummax(off_sc)
     j = jnp.arange(capacity, dtype=jnp.int32)
     live = j < total
-    out = (
-        jnp.where(live, row, 0),
-        jnp.where(live, j - off, 0),
-        total,
-    )
     if fill is None:
-        return out
+        boff_r = gather1d(boff, row)
+        return (jnp.where(live, row, 0), jnp.where(live, j - boff_r, 0), total)
     v = fill.astype(jnp.int32)
-    # Zero-count rows share their boff with the NEXT live row; letting
-    # them scatter would let a larger stray value win the cummax there.
-    # Redirect them out of bounds (dropped) so only live rows write.
-    posf = jnp.where(counts > 0, pos, capacity)
-    v_sc = jnp.zeros((capacity,), jnp.int32).at[posf].max(v, mode="drop")
-    filled = jax.lax.cummax(v_sc)
-    return out + (jnp.where(live, filled, v[0]),)
+    # One fused gather for both per-row payloads (offset + fill value).
+    n = counts.shape[0]
+    got = gather1d(jnp.concatenate([boff, v]),
+                   jnp.concatenate([row, row + n]))
+    boff_r = got[:capacity]
+    v_r = got[capacity:]
+    return (jnp.where(live, row, 0), jnp.where(live, j - boff_r, 0), total,
+            jnp.where(live, v_r, v[0]))
 
 
 def indices_of(mask, capacity, backend=None):

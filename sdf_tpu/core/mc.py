@@ -411,11 +411,9 @@ def _resolve_faces(inv, cell_state, capacity, cell_capacity, ny, nz, Sx, Sy):
     # Per-triangle cell data.  Element gathers cost ~8 ns each on TPU
     # regardless of table size, so pack (ci, cj, ck, case) into ONE
     # int32 word per cell when the cell grid fits 23 bits (grids to
-    # ~2^24 samples).  The word is strictly increasing along compacted
-    # cells (ascending cell id * 256 dominates the case byte), so the
-    # slot expansion broadcasts it by scatter+cummax (ragged_expand's
-    # fill) -- the triangles need NO per-slot cell gather at all.
-    # Bigger grids keep the 4-slot staging gather.
+    # ~2^24 samples).  The slot expansion broadcasts the word via
+    # ragged_expand's fill -- the triangles need NO per-slot cell
+    # gather at all.  Bigger grids keep the 4-slot staging gather.
     nx1 = Sx // (ny * nz)  # nx - 1
     ny1, nz1 = ny - 1, nz - 1
     if nx1 * ny1 * nz1 < (1 << 23):

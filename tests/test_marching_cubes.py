@@ -164,6 +164,34 @@ def test_compact_kernel_matches_flatnonzero():
         np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref))
 
 
+def test_gather1d_row_path_matches_plain_gather():
+    """gather1d's TPU row-of-128 path (forced on CPU) must be bit-exact
+    vs table[idx] for int and float tables -- including tables whose
+    OTHER row lanes hold Inf/NaN (the select must not leak NaN the way a
+    one-hot multiply would) and non-multiple-of-128 table lengths."""
+    import jax.numpy as jnp
+    from sdf_tpu.core import compact
+
+    rng = np.random.RandomState(7)
+    for n in (1, 127, 128, 129, 1000, 5000):
+        idx = jnp.asarray(rng.randint(0, n, size=777), jnp.int32)
+        ti = jnp.asarray(rng.randint(-(2**31), 2**31 - 1, size=n, dtype=np.int64)
+                         .astype(np.int32))
+        np.testing.assert_array_equal(
+            np.asarray(compact.gather1d(ti, idx, _force_rows=True)),
+            np.asarray(ti[idx]),
+        )
+        tf = rng.standard_normal(n).astype(np.float32)
+        tf[rng.rand(n) < 0.1] = np.inf
+        tf[rng.rand(n) < 0.1] = -np.inf
+        tf[rng.rand(n) < 0.1] = np.nan
+        tf = jnp.asarray(tf)
+        np.testing.assert_array_equal(
+            np.asarray(compact.gather1d(tf, idx, _force_rows=True)),
+            np.asarray(tf[idx]),
+        )
+
+
 def test_indexed_emit_matches_soup_exactly():
     """The indexed path (unique per-edge vertices + int32 faces) must
     reconstruct ``emit``'s triangle soup bit-for-bit -- same zero-crossing
@@ -276,9 +304,8 @@ def test_ragged_expand_matches_slot_compaction():
         np.testing.assert_array_equal(np.asarray(row), want_row)
         np.testing.assert_array_equal(np.asarray(rank), want_rank)
 
-        # fill= (scatter+cummax row-data broadcast) must equal the plain
-        # gather values[row] for a strictly-increasing non-negative fill
-        # (the cell-word contract), padding included (values[0]).
+        # fill= (row-payload broadcast) must equal the plain gather
+        # values[row], padding included (values[0]).
         vals = np.cumsum(rng.randint(1, 9, size=nrows)).astype(np.int32)
         r2, k2, t2, filled = compact.ragged_expand(
             jnp.asarray(counts), cap, fill=jnp.asarray(vals)
@@ -286,10 +313,13 @@ def test_ragged_expand_matches_slot_compaction():
         np.testing.assert_array_equal(np.asarray(r2), want_row)
         np.testing.assert_array_equal(np.asarray(filled), vals[want_row])
 
-        # Zero-count rows may carry ARBITRARY fill values (they must be
-        # ignored, not win the cummax at the next owner's position): blow
-        # up every dead row's value and require the same gather result.
-        vals_hot = np.where(counts == 0, 10**6, vals).astype(np.int32)
+        # Fill values are arbitrary -- no ordering requirement (the
+        # sparse tiles path passes per-tile words that reset per tile):
+        # a fully random fill, with dead rows blown up, must still equal
+        # the plain gather.
+        vals_hot = np.where(
+            counts == 0, 10**6, rng.randint(-(10**6), 10**6, size=nrows)
+        ).astype(np.int32)
         *_, filled_hot = compact.ragged_expand(
             jnp.asarray(counts), cap, fill=jnp.asarray(vals_hot)
         )
