@@ -65,18 +65,31 @@ _CB_T = _EDGE_B[np.maximum(_TRI_FLAT, 0)].T.copy()
 _OFFS = np.asarray(CORNER_OFFSETS, dtype=np.float64)  # (8, 3)
 
 
+# NTRI_TABLE as a (16, 16) nibble-decomposed table: row = case >> 4,
+# column = case & 15.
+_NTRI_2D = np.asarray(NTRI_TABLE, np.float32).reshape(16, 16)
+
+
 def ntri_of(case):
     """Per-cell triangle counts WITHOUT a table gather.
 
     A 256-entry element gather over the full cell grid costs ~8 ns/cell
-    on TPU (33 ms at a 2^22 grid -- it was the whole count phase); the
-    same lookup as a one-hot matmul rides the MXU at 4.4 ms, and XLA
-    fuses the one-hot into the matmul operand so the (N, 256) matrix is
-    never materialized.  Exact: each dot picks one table entry <= 5,
-    representable in bf16; the sum happens after the int32 cast.
+    on TPU (33 ms at a 2^22 grid -- it was the whole count phase).  A
+    256-wide one-hot matvec cut that to 4.2 ms but streams an (N, 256)
+    bf16 one-hot through HBM.  Decomposing the lookup by nibbles --
+    ``tmp = one_hot(case >> 4, 16) @ NTRI_2D`` picks the table row, then
+    an iota-compare select-sum picks column ``case & 15`` -- keeps every
+    intermediate 16 lanes wide: 1.1 ms at a 2^22 grid on v5e.  Exact:
+    entries <= 5 are bf16-representable; the sum happens after the
+    int32 cast.
     """
-    oh = jax.nn.one_hot(case.reshape(-1), 256, dtype=jnp.bfloat16)
-    nt = oh @ jnp.asarray(NTRI_TABLE, jnp.bfloat16)
+    flat = case.reshape(-1)
+    oh_hi = jax.nn.one_hot(flat >> 4, 16, dtype=jnp.bfloat16)
+    tmp = oh_hi @ jnp.asarray(_NTRI_2D, jnp.bfloat16)  # (N, 16)
+    sel = jax.lax.broadcasted_iota(jnp.int32, tmp.shape, 1) == (
+        flat & 15
+    )[:, None]
+    nt = jnp.sum(jnp.where(sel, tmp, 0), axis=1)
     return nt.astype(jnp.int32).reshape(case.shape)
 
 
