@@ -332,9 +332,14 @@ def gather_emit_indexed(volume, case, active, emask, edge_capacity, capacity,
 
 
 def _emit_indexed_core(volume, emask, cell_state, edge_capacity, capacity,
-                       cell_capacity):
+                       cell_capacity, z_offset=0):
     """Shared body of the indexed emit: per-edge ``(eidx, ax, exyz, t)``
-    plus resolved ``faces (3, capacity)`` and ``n_tris``."""
+    plus resolved ``faces (3, capacity)`` and ``n_tris``.
+
+    ``z_offset`` shifts the emitted integer z indices into global space
+    BEFORE the float interpolation add, so a sharded slab's vertices are
+    bit-identical to a single-device run over the global grid (adding the
+    slab offset to ``local_z + t`` after the fact rounds differently)."""
     ci, cj, ck, cell_case, cell_ntri = cell_state
     nx, ny, nz = volume.shape
     Sx = (nx - 1) * ny * nz
@@ -382,12 +387,14 @@ def _emit_indexed_core(volume, emask, cell_state, edge_capacity, capacity,
     faces, n_tris = _resolve_faces(
         inv, cell_state, capacity, cell_capacity, ny, nz, Sx, Sy
     )
-    return eidx, ax, (ex, ey, ez), t, faces, n_tris
+    # The global z shift applies to the OUTPUT coordinate only (the volume
+    # gather above uses slab-local indices).
+    return eidx, ax, (ex, ey, ez + z_offset), t, faces, n_tris
 
 
 @partial(jax.jit, static_argnames=("edge_capacity", "capacity", "cell_capacity"))
 def emit_indexed(volume, emask, cell_state, edge_capacity, capacity,
-                 cell_capacity):
+                 cell_capacity, z_offset=0):
     """Phase 3 for the indexed path: unique vertices + int32 faces.
 
     Returns ``(everts (3, edge_capacity), faces (3, capacity), n_tris)``:
@@ -395,11 +402,14 @@ def emit_indexed(volume, emask, cell_state, edge_capacity, capacity,
     global edge id -- x-edge block, then y, then z) in fractional index
     coordinates; ``faces[v, i]`` indexes triangle i's vertex v into that
     array.  Reconstructing ``everts.T[faces.T.reshape(-1)]`` yields
-    exactly ``emit``'s soup (same values, same order).
+    exactly ``emit``'s soup (same values, same order).  ``z_offset``
+    (traced int) shifts z indices to global space pre-interpolation --
+    see ``_emit_indexed_core``.
     """
     dtype = volume.dtype
     _, ax, (ex, ey, ez), t, faces, n_tris = _emit_indexed_core(
-        volume, emask, cell_state, edge_capacity, capacity, cell_capacity
+        volume, emask, cell_state, edge_capacity, capacity, cell_capacity,
+        z_offset,
     )
     everts = jnp.stack(
         [

@@ -191,13 +191,14 @@ def _phase_emit(vol, case, emask, keep_xy, mesh, c, ncz, tile, edge_capacity,
         mask = _local_cell_mask(keep_xy, c, ncz, tile, AXIS)
         ntri = mc.ntri_of(case) * mask.astype(jnp.int32)
         state = mc.compact_cells(case, (ntri > 0), cell_capacity)
-        everts, faces, n = mc.emit_indexed(
-            vol, emask, state, edge_capacity, capacity, cell_capacity
-        )
         dev = jax.lax.axis_index(AXIS)
-        # Local slab cell 0 is global cell dev*c: shift the z row to
-        # global index space.
-        everts = everts.at[2, :].add((dev * c).astype(everts.dtype))
+        # Local slab cell 0 is global cell dev*c: the integer z shift
+        # happens INSIDE emit (before the + t float add), so sharded
+        # vertices are bit-identical to a single-device global run.
+        everts, faces, n = mc.emit_indexed(
+            vol, emask, state, edge_capacity, capacity, cell_capacity,
+            z_offset=dev * c,
+        )
         return everts[None], faces[None], n[None]
 
     return jax.shard_map(
