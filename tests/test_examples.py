@@ -24,6 +24,7 @@ EXAMPLES = [
     "customizable_box.py",
     "text.py",
     "image.py",
+    "mesh.py",
     "fit_sphere.py",
 ]
 
@@ -55,6 +56,16 @@ def test_example_script(script, tmp_path, monkeypatch):
             sdf_tpu, "text",
             lambda name, *a, **kw: real_text("DejaVuSans", *a, **kw),
         )
+    if script == "mesh.py":
+        # the reference workload takes an input mesh path on argv
+        # (ref examples/mesh.py:24); generate a tiny sphere STL fixture.
+        from sdf_tpu.io import stl as stl_io
+        from sdf_tpu.ops.shapes3 import sphere
+
+        fixture = tmp_path / "input.stl"
+        pts = real_generate(sphere(1), samples=2**12, verbose=False)
+        stl_io.write_binary_stl(str(fixture), np.asarray(pts))
+        monkeypatch.setattr("sys.argv", ["mesh.py", str(fixture)])
     if script == "image.py":
         # stage the asset at the path the script expects, under tmp
         import shutil
