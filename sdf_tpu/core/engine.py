@@ -416,6 +416,7 @@ def generate(
     use_pallas=None,
     debug=False,
     output="points",
+    mc_variant="default",
 ):
     """Sample the SDF on a dense grid and mesh it (ref sdf/core.py:84-150).
 
@@ -451,10 +452,17 @@ def generate(
     ``debug=True`` appends an inset marker box for every skipped or empty
     batch (the reference's comment-toggled ``_debug_triangles`` debugging
     affordance, ref sdf/core.py:49,57,166-200).
+    ``mc_variant=`` selects the marching-cubes topology rule:
+    "default" = the repo's fixed separated-ambiguity tables;
+    "lewiner" = trilinear-faithful ambiguity resolution (face-saddle +
+    interior tests), matching the decision procedure of skimage's Lewiner
+    mesher, the reference's default (ref sdf/core.py:16-18).  See
+    docs/TOPOLOGY.md.
     """
     start = time.time()
     dtype = dtype or jnp.float32
     stats = {}
+    mc.get_tables(mc_variant)  # validate the name / load tables eagerly
     if output not in ("points", "mesh"):
         raise ValueError("output must be 'points' or 'mesh', got %r" % output)
     if output == "mesh" and checkpoint is not None:
@@ -535,7 +543,8 @@ def generate(
         # both must invalidate a cached mesh.
         fp = ckpt.fingerprint(
             sdf, X, Y, Z,
-            (sparse, jnp.dtype(dtype).str, s, bool(debug)),
+            (sparse, jnp.dtype(dtype).str, s, bool(debug))
+            + ((mc_variant,) if mc_variant != "default" else ()),
         )
         cached = ckpt.load(checkpoint, fp)
         if cached is not None:
@@ -611,7 +620,9 @@ def generate(
             # Uncast expression: host leaves hash without device round
             # trips; the dtype is folded into the extras.
             mkey = ckpt_mod.fingerprint(
-                sdf, X, Y, Z, ("tiles-counts", jnp.dtype(dtype).str, s)
+                sdf, X, Y, Z,
+                ("tiles-counts", jnp.dtype(dtype).str, s)
+                + ((mc_variant,) if mc_variant != "default" else ()),
             )
         except Exception:
             mkey = None
@@ -624,7 +635,7 @@ def generate(
                 sdf_c, X, Y, Z, skip, s, dtype,
                 use_pallas=(use_pallas is True),
                 interpret=(jax.default_backend() != "tpu"),
-                return_indexed=True, memo_key=mkey,
+                return_indexed=True, memo_key=mkey, variant=mc_variant,
             )
 
     if mesh is not None and mesh.devices.size > 1:
@@ -635,7 +646,7 @@ def generate(
             with _phase("sparse_tiles_sharded", stats):
                 verts, per_tile = psparse.mesh_sparse_tiles_sharded(
                     sdf_c, X, Y, Z, skip, s, mesh, dtype,
-                    return_indexed=True,
+                    return_indexed=True, variant=mc_variant,
                 )
         else:
             from ..parallel import grid as pgrid
@@ -653,7 +664,7 @@ def generate(
                         verts, per_tile = pgrid.mesh_and_march(
                             sdf_c, X, Y, Z, skip, s, mesh, dtype,
                             use_pallas=True, interpret=(backend != "tpu"),
-                            return_indexed=True,
+                            return_indexed=True, variant=mc_variant,
                         )
                     except Exception:
                         # use_pallas=True means REQUIRED: surface failures.
@@ -664,12 +675,12 @@ def generate(
                         _PALLAS_BROKEN.add(key)
                         verts, per_tile = pgrid.mesh_and_march(
                             sdf_c, X, Y, Z, skip, s, mesh, dtype,
-                            return_indexed=True,
+                            return_indexed=True, variant=mc_variant,
                         )
                 else:
                     verts, per_tile = pgrid.mesh_and_march(
                         sdf_c, X, Y, Z, skip, s, mesh, dtype,
-                        return_indexed=True,
+                        return_indexed=True, variant=mc_variant,
                     )
         indexed = verts
         bar.update(num_batches * 0.8)
@@ -731,11 +742,16 @@ def generate(
         # further sync.
         tshape = tuple(-(-c // s) for c in cshape)
         pallas_evaled = case is not None
+        if pallas_evaled and mc_variant != "default":
+            # The fused kernel classifies with default codes; extended
+            # variants reclassify from the (kernel-evaluated) volume.
+            case = None
+            pallas_evaled = "vol"
         with _phase("mc_count", stats):
             if case is None:
-                case = mc._cell_cases(vol)
+                case = mc.get_tables(mc_variant).classify(vol)
             ncells_dev, total, n_edges, per_tile, active, emask = (
-                mc.count_indexed(vol, case, keep, s, tshape)
+                mc.count_indexed(vol, case, keep, s, tshape, mc_variant)
             )
         # Counts are DETERMINISTIC in (expression, grid, dtype, cull
         # mode): a repeat generate() of an unchanged model reuses the
@@ -769,7 +785,8 @@ def generate(
             ckey = ckpt_mod.fingerprint(
                 sdf, X, Y, Z,
                 ("counts", jnp.dtype(dtype).str, s, bool(speculate),
-                 skip_tag, pallas_evaled),
+                 skip_tag, pallas_evaled)
+                + ((mc_variant,) if mc_variant != "default" else ()),
             )
         except Exception:
             ckey = None
@@ -831,7 +848,7 @@ def generate(
             with _phase("mc_emit", stats):
                 everts, faces = mc.gather_emit_indexed(
                     vol, case, active, emask, edge_capacity, capacity,
-                    cell_capacity, packed=packed,
+                    cell_capacity, packed=packed, variant=mc_variant,
                 )
             with _phase("d2h", stats):
                 if cached is not None:

@@ -50,42 +50,113 @@ def round_capacity(n):
         return (p // 2) + (p // 4)
     return p
 
-# Flattened (case, tri, vertex) -> cube edge lookup, -1 padded.
-_TRI_FLAT = TRI_TABLE.reshape(256, -1)  # (256, MAX_TRIS * 3)
 _EDGE_A = EDGE_CORNERS[:, 0]
 _EDGE_B = EDGE_CORNERS[:, 1]
 
-# Per-(case, slot-vertex) edge-endpoint corner ids, transposed so a row is
-# indexed by case code with ONE lane-friendly gather per slot-vertex.
-# (take_along_axis on NSV(=15)-wide arrays is lane-hostile: the minor dim
-# pads 15 -> 128.  Everything in emit keeps the big dimension minor.)
-_NSV = MAX_TRIS_PER_CELL * 3
-_CA_T = _EDGE_A[np.maximum(_TRI_FLAT, 0)].T.copy()  # (NSV, 256) corner id a
-_CB_T = _EDGE_B[np.maximum(_TRI_FLAT, 0)].T.copy()
-_OFFS = np.asarray(CORNER_OFFSETS, dtype=np.float64)  # (8, 3)
+
+class Tables:
+    """Per-variant case-table bundle consumed by the jitted MC phases.
+
+    ``variant="default"`` is the repo's fixed separated-ambiguity rule
+    (mc_tables); ``"lewiner"`` the trilinear-faithful extended tables
+    (mc33/mc33_build), whose case codes carry face-saddle and interior
+    bits -- same kernel structure, wider tables.  Instances hash/compare
+    by name so they ride jit static arguments; all derived arrays are
+    trace-time numpy constants.
+    """
+
+    def __init__(self, name, tri_table, ntri_table):
+        self.name = name
+        tri_table = np.asarray(tri_table, np.int32)
+        self.tri = tri_table  # (ncase, max_tris, 3), -1 padded
+        self.ntri = np.asarray(ntri_table, np.int32)
+        self.ncase = tri_table.shape[0]
+        self.max_tris = tri_table.shape[1]
+        self.nsv = self.max_tris * 3
+        self.case_bits = int(self.ncase - 1).bit_length()
+        self.tf3 = np.maximum(tri_table, 0)  # padding clamped to edge 0
+        # (ncase, 3 * max_tris) edge ids laid out [v * max_tris + slot]
+        # for the one-hot matmul in _edge_ids_of.
+        self.edge_id_tab = np.concatenate(
+            [self.tf3[:, :, v] for v in range(3)], axis=1
+        ).astype(np.float32)
+        # ntri as a (rows, 16) nibble-decomposed table (see ntri_of).
+        rows = -(-self.ncase // 16)
+        pad = rows * 16 - self.ncase
+        self.ntri_2d = np.pad(
+            self.ntri.astype(np.float32), (0, pad)
+        ).reshape(rows, 16)
+        # packed per-case interpolation table (see interpolate_slots):
+        # [ca | cb | pax pay paz | pbx pby pbz], each nsv wide.
+        flat = self.tf3.reshape(self.ncase, -1)
+        ca = _EDGE_A[flat]
+        cb = _EDGE_B[flat]
+        offs = np.asarray(CORNER_OFFSETS)
+        self.wide_pack = np.concatenate(
+            [
+                ca,
+                cb,
+                offs[ca].transpose(0, 2, 1).reshape(self.ncase, -1),
+                offs[cb].transpose(0, 2, 1).reshape(self.ncase, -1),
+            ],
+            axis=1,
+        ).astype(np.float32)
+
+    def classify(self, volume, level=0.0):
+        """Per-cell case codes for this variant."""
+        if self.name == "default":
+            return _cell_cases(volume, level)
+        from . import mc33
+
+        return mc33.classify_ext(volume, level)
+
+    def __hash__(self):
+        return hash(self.name)
+
+    def __eq__(self, other):
+        return isinstance(other, Tables) and other.name == self.name
+
+    def __repr__(self):
+        return f"Tables({self.name!r})"
 
 
-# NTRI_TABLE as a (16, 16) nibble-decomposed table: row = case >> 4,
-# column = case & 15.
-_NTRI_2D = np.asarray(NTRI_TABLE, np.float32).reshape(16, 16)
+_TABLES = {}
 
 
-def ntri_of(case):
+def get_tables(variant="default"):
+    """The (cached) table bundle for an MC variant name."""
+    if variant not in _TABLES:
+        if variant == "default":
+            _TABLES[variant] = Tables("default", TRI_TABLE, NTRI_TABLE)
+        elif variant == "lewiner":
+            from . import mc33
+
+            d = mc33.load_tables()
+            _TABLES[variant] = Tables("lewiner", d["tri_table"], d["ntri"])
+        else:
+            raise ValueError(
+                f"unknown mc_variant {variant!r}: use 'default' or 'lewiner'"
+            )
+    return _TABLES[variant]
+
+
+def ntri_of(case, variant="default"):
     """Per-cell triangle counts WITHOUT a table gather.
 
     A 256-entry element gather over the full cell grid costs ~8 ns/cell
     on TPU (33 ms at a 2^22 grid -- it was the whole count phase).  A
     256-wide one-hot matvec cut that to 4.2 ms but streams an (N, 256)
     bf16 one-hot through HBM.  Decomposing the lookup by nibbles --
-    ``tmp = one_hot(case >> 4, 16) @ NTRI_2D`` picks the table row, then
-    an iota-compare select-sum picks column ``case & 15`` -- keeps every
-    intermediate 16 lanes wide: 1.1 ms at a 2^22 grid on v5e.  Exact:
-    entries <= 5 are bf16-representable; the sum happens after the
-    int32 cast.
+    ``tmp = one_hot(case >> 4, rows) @ NTRI_2D`` picks the table row,
+    then an iota-compare select-sum picks column ``case & 15`` -- keeps
+    every intermediate 16 lanes wide: 1.1 ms at a 2^22 grid on v5e.
+    Exact: entries <= 10 are bf16-representable; the sum happens after
+    the int32 cast.
     """
+    tab = get_tables(variant)
     flat = case.reshape(-1)
-    oh_hi = jax.nn.one_hot(flat >> 4, 16, dtype=jnp.bfloat16)
-    tmp = oh_hi @ jnp.asarray(_NTRI_2D, jnp.bfloat16)  # (N, 16)
+    oh_hi = jax.nn.one_hot(flat >> 4, tab.ntri_2d.shape[0], dtype=jnp.bfloat16)
+    tmp = oh_hi @ jnp.asarray(tab.ntri_2d, jnp.bfloat16)  # (N, 16)
     sel = jax.lax.broadcasted_iota(jnp.int32, tmp.shape, 1) == (
         flat & 15
     )[:, None]
@@ -151,25 +222,16 @@ _EDGE_AXIS = np.argmax(
 ).astype(np.int32)
 _EDGE_ORIG = CORNER_OFFSETS[EDGE_CORNERS[:, 0]]  # (12, 3)
 
-# (256, MAX_TRIS, 3) cube-edge ids with padding clamped to edge 0.
-_TF3 = np.maximum(TRI_TABLE, 0)
-
-# (256, 3 * MAX_TRIS) cube-edge ids laid out [v * MAX_TRIS + slot]: the
-# per-(case, slot, vertex) lookup as ONE one-hot MXU matmul (entries <= 11
-# are bf16-exact), replacing a (capacity, 9) row gather that measured
-# ~9.5 ns/row on v5e (3.7 ms at 2^22).
-_EDGE_ID_TAB = np.concatenate(
-    [_TF3[:, :, v] for v in range(3)], axis=1
-).astype(np.float32)
-
-
-def _edge_ids_of(case_t, slot):
+def _edge_ids_of(case_t, slot, variant="default"):
     """Cube-edge ids of the three vertices of triangle ``slot`` of cell
     case ``case_t``: three ``(n,)`` int32 arrays, via one one-hot matmul
-    (XLA fuses the one-hot into the matmul operand) + a slot select."""
-    nsl = MAX_TRIS_PER_CELL
-    oh = jax.nn.one_hot(case_t, 256, dtype=jnp.bfloat16)
-    ev = oh @ jnp.asarray(_EDGE_ID_TAB, jnp.bfloat16)  # (n, 3 * nsl)
+    (entries <= 11 are bf16-exact; XLA fuses the one-hot into the matmul
+    operand, replacing a (capacity, 9) row gather that measured
+    ~9.5 ns/row on v5e, 3.7 ms at 2^22) + a slot select."""
+    tab = get_tables(variant)
+    nsl = tab.max_tris
+    oh = jax.nn.one_hot(case_t, tab.ncase, dtype=jnp.bfloat16)
+    ev = oh @ jnp.asarray(tab.edge_id_tab, jnp.bfloat16)  # (n, 3 * nsl)
     sel = jax.nn.one_hot(slot, nsl, dtype=ev.dtype)
     return [
         jnp.sum(ev[:, v * nsl : (v + 1) * nsl] * sel, axis=1).astype(jnp.int32)
@@ -200,9 +262,9 @@ def _edge_gid(e, cx, cy, cz, ny, nz, Sx, Sy):
     return base + (x * my + y) * mz + z
 
 
-def _gid_pack(strides, bases):
+def _gid_pack(strides, bases, variant="default"):
     """Per (case, slot): packed edge-id coefficients for the three
-    vertices, as one (256 * MAX_TRIS, 9) int32 row-gather table.
+    vertices, as one (ncase * max_tris, 9) int32 row-gather table.
 
     A vertex's edge id is affine in its cell coordinates:
     ``gid = cx * sx + cy * sy + cz + K`` where (sx, sy, K) depend only on
@@ -212,16 +274,17 @@ def _gid_pack(strides, bases):
     ``bases[a]`` give each axis' edge-grid layout.  Row layout:
     ``[sx0 sy0 K0 sx1 sy1 K1 sx2 sy2 K2]``.
     """
+    tab = get_tables(variant)
     strides = np.asarray(strides)
     bases = np.asarray(bases)
-    ax = _EDGE_AXIS[_TF3]  # (256, MAX_TRIS, 3)
-    o = _EDGE_ORIG[_TF3]  # (256, MAX_TRIS, 3, 3)
+    ax = _EDGE_AXIS[tab.tf3]  # (ncase, max_tris, 3)
+    o = _EDGE_ORIG[tab.tf3]  # (ncase, max_tris, 3, 3)
     sx = strides[ax, 0]
     sy = strides[ax, 1]
     k = bases[ax] + o[..., 0] * sx + o[..., 1] * sy + o[..., 2]
     return (
         np.stack([sx, sy, k], axis=-1)
-        .reshape(256 * MAX_TRIS_PER_CELL, 9)
+        .reshape(tab.ncase * tab.max_tris, 9)
         .astype(np.int32)
     )
 
@@ -252,7 +315,7 @@ def _edge_mask(volume, active):
     return jnp.concatenate([ex.reshape(-1), ey.reshape(-1), ez.reshape(-1)])
 
 
-def compact_cells(case, active, cell_capacity):
+def compact_cells(case, active, cell_capacity, variant="default"):
     """Traced helper: compact the active cells into ``cell_state``
     (shared by the single-device and sharded indexed paths).  Returns
     ``(ci, cj, ck, cell_case, cell_ntri)``, each ``(cell_capacity,)``.
@@ -263,14 +326,14 @@ def compact_cells(case, active, cell_capacity):
     n_cells = jnp.sum(aflat.astype(jnp.int32))
     live = jnp.arange(cell_capacity) < n_cells
     cell_case = compact.gather1d(case.reshape(-1), cell_idx)
-    cell_ntri = jnp.where(live, ntri_of(cell_case), 0)
+    cell_ntri = jnp.where(live, ntri_of(cell_case, variant), 0)
     ci, cj, ck = jnp.unravel_index(cell_idx, cshape)
     return (ci.astype(jnp.int32), cj.astype(jnp.int32), ck.astype(jnp.int32),
             cell_case, cell_ntri)
 
 
-@partial(jax.jit, static_argnames=("tile", "tshape"))
-def count_indexed(volume, case, keep, tile, tshape):
+@partial(jax.jit, static_argnames=("tile", "tshape", "variant"))
+def count_indexed(volume, case, keep, tile, tshape, variant="default"):
     """Single-dispatch phase 1 for the indexed path: EVERY count the host
     needs, so one ``device_get`` sizes all three static buffers.
 
@@ -285,8 +348,12 @@ def count_indexed(volume, case, keep, tile, tshape):
     fetch the first four in ONE device_get, keep the last two on device
     for ``gather_emit_indexed``.
     """
-    active = keep & (case != 0) & (case != 255)
-    ntri = ntri_of(case) * active.astype(jnp.int32)
+    ntri_all = ntri_of(case, variant)
+    # Equivalent to (case != 0) & (case != 255) in the default variant
+    # (every crossing case emits >= 1 triangle), and correct for extended
+    # variant codes, whose empty entries are per-table.
+    active = keep & (ntri_all > 0)
+    ntri = ntri_all * active.astype(jnp.int32)
     cx, cy, cz = ntri.shape
     px, py, pz = (-cx) % tile, (-cy) % tile, (-cz) % tile
     padded = jnp.pad(ntri, ((0, px), (0, py), (0, pz)))
@@ -305,10 +372,11 @@ def count_indexed(volume, case, keep, tile, tshape):
 
 @partial(
     jax.jit,
-    static_argnames=("edge_capacity", "capacity", "cell_capacity", "packed"),
+    static_argnames=("edge_capacity", "capacity", "cell_capacity", "packed",
+                     "variant"),
 )
 def gather_emit_indexed(volume, case, active, emask, edge_capacity, capacity,
-                        cell_capacity, packed=False):
+                        cell_capacity, packed=False, variant="default"):
     """Single-dispatch phases 2+3: cell compaction + indexed emit, no
     intermediate host sync (all capacities come from ``count_indexed``'s
     one fetch; the emitted triangle count always equals ``total_tris``
@@ -319,20 +387,21 @@ def gather_emit_indexed(volume, case, active, emask, edge_capacity, capacity,
     ``"wide"`` = packed vertices but plain uint32 faces (vertex count
     may reach 2^21).  float32 volumes only when not False.
     """
-    state = compact_cells(case, active, cell_capacity)
+    state = compact_cells(case, active, cell_capacity, variant)
     if packed is not False:
         return emit_indexed_packed(
             volume, emask, state, edge_capacity, capacity, cell_capacity,
-            pack_faces=(packed is True),
+            pack_faces=(packed is True), variant=variant,
         )
     everts, faces, _ = emit_indexed(
-        volume, emask, state, edge_capacity, capacity, cell_capacity
+        volume, emask, state, edge_capacity, capacity, cell_capacity,
+        variant=variant,
     )
     return everts, faces
 
 
 def _emit_indexed_core(volume, emask, cell_state, edge_capacity, capacity,
-                       cell_capacity, z_offset=0):
+                       cell_capacity, z_offset=0, variant="default"):
     """Shared body of the indexed emit: per-edge ``(eidx, ax, exyz, t)``
     plus resolved ``faces (3, capacity)`` and ``n_tris``.
 
@@ -385,16 +454,17 @@ def _emit_indexed_core(volume, emask, cell_state, edge_capacity, capacity,
     t = jnp.clip(va / jnp.where(denom == 0, 1.0, denom), 0.0, 1.0)
 
     faces, n_tris = _resolve_faces(
-        inv, cell_state, capacity, cell_capacity, ny, nz, Sx, Sy
+        inv, cell_state, capacity, cell_capacity, ny, nz, Sx, Sy, variant
     )
     # The global z shift applies to the OUTPUT coordinate only (the volume
     # gather above uses slab-local indices).
     return eidx, ax, (ex, ey, ez + z_offset), t, faces, n_tris
 
 
-@partial(jax.jit, static_argnames=("edge_capacity", "capacity", "cell_capacity"))
+@partial(jax.jit, static_argnames=("edge_capacity", "capacity", "cell_capacity",
+                                   "variant"))
 def emit_indexed(volume, emask, cell_state, edge_capacity, capacity,
-                 cell_capacity, z_offset=0):
+                 cell_capacity, z_offset=0, variant="default"):
     """Phase 3 for the indexed path: unique vertices + int32 faces.
 
     Returns ``(everts (3, edge_capacity), faces (3, capacity), n_tris)``:
@@ -409,7 +479,7 @@ def emit_indexed(volume, emask, cell_state, edge_capacity, capacity,
     dtype = volume.dtype
     _, ax, (ex, ey, ez), t, faces, n_tris = _emit_indexed_core(
         volume, emask, cell_state, edge_capacity, capacity, cell_capacity,
-        z_offset,
+        z_offset, variant,
     )
     everts = jnp.stack(
         [
@@ -422,7 +492,8 @@ def emit_indexed(volume, emask, cell_state, edge_capacity, capacity,
     return everts, faces, n_tris
 
 
-def _resolve_faces(inv, cell_state, capacity, cell_capacity, ny, nz, Sx, Sy):
+def _resolve_faces(inv, cell_state, capacity, cell_capacity, ny, nz, Sx, Sy,
+                   variant="default"):
     """Face resolution: per-triangle global edge ids -> compacted ranks.
 
     ``inv`` maps global edge id -> compacted vertex rank (the ranks half
@@ -430,22 +501,24 @@ def _resolve_faces(inv, cell_state, capacity, cell_capacity, ny, nz, Sx, Sy):
     arange over eidx instead measured 33 ms at a 2^22 grid vs ~2 ms for
     the prefix-rank kernel)."""
     ci, cj, ck, cell_case, cell_ntri = cell_state
+    cbits = get_tables(variant).case_bits  # 8 default, 12 lewiner
 
     # Per-triangle cell data.  Element gathers cost ~8 ns each on TPU
     # regardless of table size, so pack (ci, cj, ck, case) into ONE
-    # int32 word per cell when the cell grid fits 23 bits (grids to
-    # ~2^24 samples).  The slot expansion broadcasts the word via
-    # ragged_expand's fill -- the triangles need NO per-slot cell
-    # gather at all.  Bigger grids keep the 4-slot staging gather.
+    # int32 word per cell when the cell grid fits 31 - case_bits bits
+    # (grids to ~2^24 samples with 8-bit codes).  The slot expansion
+    # broadcasts the word via ragged_expand's fill -- the triangles need
+    # NO per-slot cell gather at all.  Bigger grids keep the 4-slot
+    # staging gather.
     nx1 = Sx // (ny * nz)  # nx - 1
     ny1, nz1 = ny - 1, nz - 1
-    if nx1 * ny1 * nz1 < (1 << 23):
-        w = ((ci * ny1 + cj) * nz1 + ck) * 256 + cell_case
+    if nx1 * ny1 * nz1 < (1 << (31 - cbits)):
+        w = ((ci * ny1 + cj) * nz1 + ck) * (1 << cbits) + cell_case
         _, slot, n_tris, wt = compact.ragged_expand(
             cell_ntri, capacity, fill=w
         )
-        case_t = wt & 255
-        lin = wt >> 8
+        case_t = wt & ((1 << cbits) - 1)
+        lin = wt >> cbits
         cx = lin // (ny1 * nz1)
         rem = lin % (ny1 * nz1)
         cy = rem // nz1
@@ -467,7 +540,7 @@ def _resolve_faces(inv, cell_state, capacity, cell_capacity, ny, nz, Sx, Sy):
 
     # Cube-edge ids per vertex from the one-hot matmul, the edge -> global
     # edge id map as VPU selects, then ONE batched rank lookup.
-    ev = _edge_ids_of(case_t, slot)
+    ev = _edge_ids_of(case_t, slot, variant)
     gids = [_edge_gid(ev[v], cx, cy, cz, ny, nz, Sx, Sy) for v in range(3)]
     faces = compact.gather1d(inv, jnp.concatenate(gids)).reshape(3, capacity)
     return faces, n_tris
@@ -488,9 +561,9 @@ FACE_PACK_BITS = 21  # 3 * 21 = 63 bits across two words; ne < 2^21
 
 
 @partial(jax.jit, static_argnames=("edge_capacity", "capacity", "cell_capacity",
-                                   "pack_faces"))
+                                   "pack_faces", "variant"))
 def emit_indexed_packed(volume, emask, cell_state, edge_capacity, capacity,
-                        cell_capacity, pack_faces):
+                        cell_capacity, pack_faces, variant="default"):
     """``emit_indexed`` with the wire-format outputs described above.
 
     Returns ``(epack (2, edge_capacity) uint32, fpack (2 or 3, capacity)
@@ -499,7 +572,8 @@ def emit_indexed_packed(volume, emask, cell_state, edge_capacity, capacity,
     only (the t bit pattern travels in the uint32 lane).
     """
     eidx, _, _, t, faces, _ = _emit_indexed_core(
-        volume, emask, cell_state, edge_capacity, capacity, cell_capacity
+        volume, emask, cell_state, edge_capacity, capacity, cell_capacity,
+        variant=variant,
     )
     epack = jnp.stack(
         [eidx.astype(jnp.uint32),
@@ -577,8 +651,8 @@ def unpack_faces(fpack):
     return np.stack([f0, f1, f2], axis=1).astype(np.int32)
 
 
-@partial(jax.jit, static_argnames=("tile",))
-def count(volume, cell_mask, tile, case=None):
+@partial(jax.jit, static_argnames=("tile", "variant"))
+def count(volume, cell_mask, tile, case=None, variant="default"):
     """Phase 1: per-cell triangle counts and per-tile totals.
 
     ``cell_mask`` zeroes cells culled by sparse tile skipping (the
@@ -591,8 +665,8 @@ def count(volume, cell_mask, tile, case=None):
     fused Pallas eval+classify kernel).
     """
     if case is None:
-        case = _cell_cases(volume)
-    ntri = ntri_of(case) * cell_mask.astype(jnp.int32)
+        case = get_tables(variant).classify(volume)
+    ntri = ntri_of(case, variant) * cell_mask.astype(jnp.int32)
     cx, cy, cz = ntri.shape
     # Pad cells up to tile multiples, then reduce per tile.
     px, py, pz = (-cx) % tile, (-cy) % tile, (-cz) % tile
@@ -602,8 +676,9 @@ def count(volume, cell_mask, tile, case=None):
     return jnp.sum(ntri), per_tile, jnp.sum((ntri > 0).astype(jnp.int32)), case
 
 
-@partial(jax.jit, static_argnames=("capacity", "cell_capacity"))
-def emit(volume, cell_mask, capacity, cell_capacity=None, case=None):
+@partial(jax.jit, static_argnames=("capacity", "cell_capacity", "variant"))
+def emit(volume, cell_mask, capacity, cell_capacity=None, case=None,
+         variant="default"):
     """Phase 2: triangle soup with a static ``capacity``.
 
     Returns ``(verts, n_tris)`` where ``verts`` is ``(9, capacity)`` in
@@ -631,8 +706,8 @@ def emit(volume, cell_mask, capacity, cell_capacity=None, case=None):
         # safe (if generous) bound.
         cell_capacity = capacity
     if case is None:
-        case = _cell_cases(volume)
-    ntri = ntri_of(case) * cell_mask.astype(jnp.int32)
+        case = get_tables(variant).classify(volume)
+    ntri = ntri_of(case, variant) * cell_mask.astype(jnp.int32)
     cshape = case.shape
 
     # --- level 1: compact active cells --------------------------------
@@ -653,29 +728,15 @@ def emit(volume, cell_mask, capacity, cell_capacity=None, case=None):
     # masked selects for the corner values AND the (constant) corner
     # offsets -- everything stays (cell_capacity,) 1D.
     return interpolate_slots(
-        corner, base, cell_case, cell_ntri, capacity, cell_capacity
+        corner, base, cell_case, cell_ntri, capacity, cell_capacity, variant
     )
 
-
-# Packed per-case tables for the wide interpolation path: columns
-# [ca(15) | cb(15) | pax(15) | pay(15) | paz(15) | pbx | pby | pbz].
-_WIDE_PACK = np.concatenate(
-    [
-        _CA_T.T,
-        _CB_T.T,
-        np.asarray(CORNER_OFFSETS)[_CA_T.T].reshape(256, _NSV, 3)
-        .transpose(0, 2, 1).reshape(256, -1),
-        np.asarray(CORNER_OFFSETS)[_CB_T.T].reshape(256, _NSV, 3)
-        .transpose(0, 2, 1).reshape(256, -1),
-    ],
-    axis=1,
-).astype(np.float32)  # (256, 8 * NSV)
 
 _INTERP_CHUNK = 1 << 18  # cells per wide-math chunk (memory bound)
 
 
 def interpolate_slots(corner, base, cell_case, cell_ntri, capacity,
-                      cell_capacity):
+                      cell_capacity, variant="default"):
     """Shared emit tail: slot-vertex interpolation + slot compaction.
 
     corner: list of 8 (cell_capacity,) corner values per active cell.
@@ -690,9 +751,11 @@ def interpolate_slots(corner, base, cell_case, cell_ntri, capacity,
     math runs in lax.map chunks to bound that amplification (a single
     wide pass OOMed HBM at 2^26 capacities).
     """
+    tab = get_tables(variant)
+    max_tris = tab.max_tris
     dtype = corner[0].dtype
-    pack = jnp.asarray(_WIDE_PACK, dtype=dtype)
-    N = _NSV
+    pack = jnp.asarray(tab.wide_pack, dtype=dtype)
+    N = tab.nsv
 
     nchunks = max(1, -(-cell_capacity // _INTERP_CHUNK))
     chunk = -(-cell_capacity // nchunks)
@@ -723,11 +786,11 @@ def interpolate_slots(corner, base, cell_case, cell_ntri, capacity,
         # (chunk, 45): columns ordered [c * NSV + k]
         return jnp.concatenate(outs, axis=1)
 
-    wide = jax.lax.map(do_chunk, (case_ch, cstack, bstack))  # (nc, ch, 45)
-    # -> 45 cell-major 1D arrays indexed [c * NSV + (s * 3 + v)].
-    flat = jnp.moveaxis(wide, 2, 0).reshape(45, -1)[:, :cell_capacity]
-    comp = [[None] * 9 for _ in range(MAX_TRIS_PER_CELL)]  # [slot][v*3+c]
-    for s in range(MAX_TRIS_PER_CELL):
+    wide = jax.lax.map(do_chunk, (case_ch, cstack, bstack))  # (nc, ch, 3N)
+    # -> 3N cell-major 1D arrays indexed [c * NSV + (s * 3 + v)].
+    flat = jnp.moveaxis(wide, 2, 0).reshape(3 * N, -1)[:, :cell_capacity]
+    comp = [[None] * 9 for _ in range(max_tris)]  # [slot][v*3+c]
+    for s in range(max_tris):
         for v in range(3):
             for c in range(3):
                 comp[s][v * 3 + c] = flat[c * N + s * 3 + v]
@@ -739,6 +802,6 @@ def interpolate_slots(corner, base, cell_case, cell_ntri, capacity,
     g_idx = slot * cell_capacity + ctri
     rows = []
     for j in range(9):
-        staged = jnp.concatenate([comp[s][j] for s in range(MAX_TRIS_PER_CELL)])
+        staged = jnp.concatenate([comp[s][j] for s in range(max_tris)])
         rows.append(staged[g_idx])
     return jnp.stack(rows, axis=0), n_tris

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import compact, mc
-from .mc_tables import CORNER_OFFSETS, NTRI_TABLE
+from .mc_tables import CORNER_OFFSETS
 from .mc import MAX_TRIS_PER_CELL, interpolate_slots, round_capacity
 from .node import Points
 
@@ -51,8 +51,12 @@ def _eval_tiles(sdf, X, Y, Z, tiles, ntc, chunk, tile):
     return jax.lax.map(tile_vol, tiles, batch_size=min(chunk, ntc))
 
 
-def _tile_cases(vols, tile):
+def _tile_cases(vols, tile, variant="default"):
     """Case codes for every tile-local cell: (ntc, tile, tile, tile)."""
+    if variant != "default":
+        from . import mc33
+
+        return mc33.classify_ext(vols)
     case = jnp.zeros((vols.shape[0], tile, tile, tile), dtype=jnp.int32)
     for b, (ox, oy, oz) in enumerate(np.asarray(CORNER_OFFSETS)):
         corner = vols[:, ox : tile + ox, oy : tile + oy, oz : tile + oz]
@@ -111,12 +115,13 @@ def _tile_edge_mask(vols, active, tile):
     )
 
 
-@partial(jax.jit, static_argnames=("cshape", "tile"))
-def _count_tiles(vols, tiles, live, cshape, tile, case=None):
+@partial(jax.jit, static_argnames=("cshape", "tile", "variant"))
+def _count_tiles(vols, tiles, live, cshape, tile, case=None,
+                 variant="default"):
     if case is None:
-        case = _tile_cases(vols, tile)
+        case = _tile_cases(vols, tile, variant)
     valid = _cell_valid(tiles, live, cshape, tile)
-    ntri = mc.ntri_of(case) * valid.astype(jnp.int32)
+    ntri = mc.ntri_of(case, variant) * valid.astype(jnp.int32)
     per_tile = ntri.sum(axis=(1, 2, 3))
     ncell = jnp.sum((ntri > 0).astype(jnp.int32))
     emask = _tile_edge_mask(vols, ntri > 0, tile)
@@ -125,9 +130,11 @@ def _count_tiles(vols, tiles, live, cshape, tile, case=None):
 
 
 @partial(
-    jax.jit, static_argnames=("cshape", "capacity", "cell_capacity", "tile")
+    jax.jit, static_argnames=("cshape", "capacity", "cell_capacity", "tile",
+                              "variant")
 )
-def _emit_tiles(vols, tiles, live, case, cshape, capacity, cell_capacity, tile):
+def _emit_tiles(vols, tiles, live, case, cshape, capacity, cell_capacity, tile,
+                variant="default"):
     """Tile-local marching cubes -> (9, capacity) SoA triangles + count.
 
     Same 1D-SoA layout discipline as mc.emit (interpolation shared via
@@ -137,7 +144,7 @@ def _emit_tiles(vols, tiles, live, case, cshape, capacity, cell_capacity, tile):
     """
     TS = tile + 1
     valid = _cell_valid(tiles, live, cshape, tile)
-    ntri = mc.ntri_of(case) * valid.astype(jnp.int32)
+    ntri = mc.ntri_of(case, variant) * valid.astype(jnp.int32)
 
     active = (ntri > 0).reshape(-1)
     cell_idx = compact.indices_of(active, cell_capacity)
@@ -164,18 +171,18 @@ def _emit_tiles(vols, tiles, live, case, cshape, capacity, cell_capacity, tile):
         (tiles[:, 2][t_of] * tile + lk).astype(dt),
     )
     return interpolate_slots(
-        corner, base, cell_case, cell_ntri, capacity, cell_capacity
+        corner, base, cell_case, cell_ntri, capacity, cell_capacity, variant
     )
 
 
 @partial(
     jax.jit,
     static_argnames=("cshape", "edge_capacity", "capacity", "cell_capacity",
-                     "tile", "packed"),
+                     "tile", "packed", "variant"),
 )
 def _emit_tiles_indexed(vols, tiles, live, case, emask, cshape,
                         edge_capacity, capacity, cell_capacity, tile,
-                        packed=False):
+                        packed=False, variant="default"):
     """Tile-local indexed marching cubes: unique per-edge vertices (3,
     edge_capacity) in global fractional index coords + int32 faces (3,
     capacity) + triangle count.
@@ -192,8 +199,10 @@ def _emit_tiles_indexed(vols, tiles, live, case, emask, cshape,
     Sblk = tile * TS * TS  # one axis' edge block per tile
     Stile = 3 * Sblk
     dt = vols.dtype
+    cbits = mc.get_tables(variant).case_bits
+    max_tris = mc.get_tables(variant).max_tris
     valid = _cell_valid(tiles, live, cshape, tile)
-    ntri = mc.ntri_of(case) * valid.astype(jnp.int32)
+    ntri = mc.ntri_of(case, variant) * valid.astype(jnp.int32)
 
     active = (ntri > 0).reshape(-1)
     cell_idx = compact.indices_of(active, cell_capacity)
@@ -260,18 +269,19 @@ def _emit_tiles_indexed(vols, tiles, live, case, emask, cshape,
     # word w to the triangle slots; the tile id rides a row-of-128
     # gather1d on the same row indices (cheaper than the per-triangle
     # element gather it replaces, ~11 ns each on v5e).
-    # The word pack needs tile^3 * 256 distinct values, so it only fits
-    # int32 for tile <= 203 (generate(batch_size=) is the public knob
+    # The word pack needs tile^3 << case_bits distinct values, so it
+    # only fits int32 for tile <= 203 with 8-bit codes (tile <= 80 for
+    # the 12-bit lewiner codes; generate(batch_size=) is the public knob
     # behind ``tile``); larger tiles keep the staging gather, mirroring
     # mc._resolve_faces' guard.
-    if tile**3 * 256 <= 2**31:
-        w = ((li * tile + lj) * tile + lk) * 256 + cell_case
+    if tile**3 * (1 << cbits) <= 2**31:
+        w = ((li * tile + lj) * tile + lk) * (1 << cbits) + cell_case
         ctri, slot, n_tris, wt = compact.ragged_expand(
             cell_ntri, capacity, fill=w
         )
         tt = compact.gather1d(t_of, ctri)
-        case_t = wt & 255
-        loc = wt >> 8
+        case_t = wt & ((1 << cbits) - 1)
+        loc = wt >> cbits
         cx = loc // (tile * tile)
         cy = (loc // tile) % tile
         cz = loc % tile
@@ -291,9 +301,10 @@ def _emit_tiles_indexed(vols, tiles, live, case, emask, cshape,
         mc._gid_pack(
             [(TS * TS, TS), (tile * TS, TS), (TS * tile, tile)],
             [0, Sblk, 2 * Sblk],
+            variant,
         )
     )
-    row = tep[case_t * MAX_TRIS_PER_CELL + slot]  # (capacity, 9)
+    row = tep[case_t * max_tris + slot]  # (capacity, 9)
     gids = [
         tt * Stile
         + cx * row[:, 3 * v]
@@ -364,7 +375,8 @@ _COUNTS_MEMO = {}
 
 def mesh_sparse_tiles(sdf_c, X, Y, Z, skip, tile, dtype, chunk_tiles=128,
                       use_pallas=False, interpret=False,
-                      return_indexed=False, memo_key=None):
+                      return_indexed=False, memo_key=None,
+                      variant="default"):
     """Tiled sparse pipeline: eval + marching cubes on active tiles only.
 
     Returns (verts (3T, 3) float64 in fractional index coords,
@@ -418,13 +430,15 @@ def mesh_sparse_tiles(sdf_c, X, Y, Z, skip, tile, dtype, chunk_tiles=128,
             sdf_c, padf(Xd), padf(Yd), padf(Zd), tiles_d, ntc, tile,
             interpret,
         )
+        if variant != "default":
+            case = None  # the fused kernel classifies with default codes
         total, per_tile, ncell, case, nedge, emask = _count_tiles(
-            vols, tiles_d, live_d, cshape, tile, case
+            vols, tiles_d, live_d, cshape, tile, case, variant
         )
     else:
         vols = _eval_tiles(sdf_c, Xd, Yd, Zd, tiles_d, ntc, chunk_tiles, tile)
         total, per_tile, ncell, case, nedge, emask = _count_tiles(
-            vols, tiles_d, live_d, cshape, tile
+            vols, tiles_d, live_d, cshape, tile, variant=variant
         )
     # Counts are deterministic in (expression, grid, dtype, cull mask,
     # eval path): on a memoized repeat run, skip the pre-emit sync and
@@ -432,7 +446,7 @@ def mesh_sparse_tiles(sdf_c, X, Y, Z, skip, tile, dtype, chunk_tiles=128,
     ckey = cached = None
     if memo_key is not None:
         ckey = (
-            memo_key, bool(use_pallas), tile,
+            memo_key, bool(use_pallas), tile, variant,
             hashlib.sha256(np.ascontiguousarray(skip).tobytes()).hexdigest(),
         )
         cached = _COUNTS_MEMO.get(ckey)
@@ -468,7 +482,7 @@ def mesh_sparse_tiles(sdf_c, X, Y, Z, skip, tile, dtype, chunk_tiles=128,
         packed = True if ne < (1 << mc.FACE_PACK_BITS) else "wide"
     everts, faces, _ = _emit_tiles_indexed(
         vols, tiles_d, live_d, case, emask, cshape, edge_capacity, capacity,
-        cell_capacity, tile, packed=packed,
+        cell_capacity, tile, packed=packed, variant=variant,
     )
     # Indexed readback (a third of the soup bytes); the emitted count
     # always equals ``total`` (already fetched/memoized), so no extra

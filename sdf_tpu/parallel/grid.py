@@ -33,7 +33,6 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core import mc
-from ..core.mc_tables import NTRI_TABLE
 from ..core.node import Points
 
 AXIS = "grid"
@@ -87,11 +86,12 @@ def _local_cell_mask(keep_xy, c, ncz, tile, axis_name):
     jax.jit,
     static_argnames=(
         "mesh", "c", "ncz", "tile", "n_z_tiles", "chunk_points", "use_pallas",
-        "interpret",
+        "interpret", "variant",
     ),
 )
 def _phase_count(sdf, X, Y, Zs, keep_xy, mesh, c, ncz, tile, n_z_tiles,
-                 chunk_points, use_pallas=False, interpret=False):
+                 chunk_points, use_pallas=False, interpret=False,
+                 variant="default"):
     """Sharded phase 1: evaluate slabs, count triangles per cell.
 
     Returns ``(vol, case, emask, nedges, gmax_t, gmax_c, gmax_e,
@@ -111,11 +111,14 @@ def _phase_count(sdf, X, Y, Zs, keep_xy, mesh, c, ncz, tile, n_z_tiles,
             vol, case = pallas_eval.eval_and_classify_traced(
                 sdf, X, Y, Zblk, interpret=interpret
             )
+            if variant != "default":
+                # the fused kernel classifies with default codes
+                case = mc.get_tables(variant).classify(vol)
         else:
             vol = _slab_eval(sdf, X, Y, Zblk, chunk_points)
-            case = mc._cell_cases(vol)
+            case = mc.get_tables(variant).classify(vol)
         mask = _local_cell_mask(keep_xy, c, ncz, tile, AXIS)
-        ntri = mc.ntri_of(case) * mask.astype(jnp.int32)
+        ntri = mc.ntri_of(case, variant) * mask.astype(jnp.int32)
         total = jnp.sum(ntri)
         ncell = jnp.sum((ntri > 0).astype(jnp.int32))
 
@@ -169,10 +172,10 @@ def _phase_count(sdf, X, Y, Zs, keep_xy, mesh, c, ncz, tile, n_z_tiles,
 @partial(
     jax.jit,
     static_argnames=("mesh", "c", "ncz", "tile", "edge_capacity", "capacity",
-                     "cell_capacity"),
+                     "cell_capacity", "variant"),
 )
 def _phase_emit(vol, case, emask, keep_xy, mesh, c, ncz, tile, edge_capacity,
-                capacity, cell_capacity):
+                capacity, cell_capacity, variant="default"):
     """Sharded phase 2: per-slab indexed marching cubes into fixed-size
     buffers.
 
@@ -189,15 +192,15 @@ def _phase_emit(vol, case, emask, keep_xy, mesh, c, ncz, tile, edge_capacity,
         case = case[0]
         emask = emask[0]
         mask = _local_cell_mask(keep_xy, c, ncz, tile, AXIS)
-        ntri = mc.ntri_of(case) * mask.astype(jnp.int32)
-        state = mc.compact_cells(case, (ntri > 0), cell_capacity)
+        ntri = mc.ntri_of(case, variant) * mask.astype(jnp.int32)
+        state = mc.compact_cells(case, (ntri > 0), cell_capacity, variant)
         dev = jax.lax.axis_index(AXIS)
         # Local slab cell 0 is global cell dev*c: the integer z shift
         # happens INSIDE emit (before the + t float add), so sharded
         # vertices are bit-identical to a single-device global run.
         everts, faces, n = mc.emit_indexed(
             vol, emask, state, edge_capacity, capacity, cell_capacity,
-            z_offset=dev * c,
+            z_offset=dev * c, variant=variant,
         )
         return everts[None], faces[None], n[None]
 
@@ -215,7 +218,7 @@ def _phase_emit(vol, case, emask, keep_xy, mesh, c, ncz, tile, edge_capacity,
 
 def mesh_and_march(sdf_c, X, Y, Z, skip, tile, mesh, dtype,
                    chunk_points=2**22, use_pallas=False, interpret=False,
-                   return_indexed=False):
+                   return_indexed=False, variant="default"):
     """Sharded volume eval + marching cubes over a device mesh.
 
     sdf_c: dtype-cast SDF expression pytree.  X/Y/Z: host float64 grid axis
@@ -257,7 +260,7 @@ def mesh_and_march(sdf_c, X, Y, Z, skip, tile, mesh, dtype,
     vol, case, emask, nedges, gmax_t, gmax_c, gmax_e, per_tile = (
         _phase_count(
             sdf_c, Xd, Yd, Zsd, keep_d, mesh, c, ncz, tile,
-            keep.shape[2], chunk_points, use_pallas, interpret,
+            keep.shape[2], chunk_points, use_pallas, interpret, variant,
         )
     )
     # gmax_* are replicated (pmax over the mesh), so every host derives
@@ -274,7 +277,7 @@ def mesh_and_march(sdf_c, X, Y, Z, skip, tile, mesh, dtype,
     edge_capacity = mc.round_capacity(int(gmax_e))
     everts, faces, counts = _phase_emit(
         vol, case, emask, keep_d, mesh, c, ncz, tile, edge_capacity,
-        capacity, cell_capacity,
+        capacity, cell_capacity, variant,
     )
     # Addressable-shard readback + assembly (shared with the sharded
     # sparse path; multi-host contract documented in parallel.shards).

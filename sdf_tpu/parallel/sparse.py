@@ -29,14 +29,16 @@ AXIS = "grid"
 
 
 @partial(
-    jax.jit, static_argnames=("mesh", "cshape", "tile", "tpd", "chunk")
+    jax.jit, static_argnames=("mesh", "cshape", "tile", "tpd", "chunk",
+                              "variant")
 )
-def _phase_count(sdf, X, Y, Z, tiles, live, mesh, cshape, tile, tpd, chunk):
+def _phase_count(sdf, X, Y, Z, tiles, live, mesh, cshape, tile, tpd, chunk,
+                 variant="default"):
     def body(X, Y, Z, tiles, live):
         # blocks arrive per-device: tiles (tpd, 3), live (tpd,)
         vols = core_sparse._eval_tiles(sdf, X, Y, Z, tiles, tpd, chunk, tile)
         total, per_tile, ncell, case, nedge, emask = core_sparse._count_tiles(
-            vols, tiles, live, cshape, tile
+            vols, tiles, live, cshape, tile, variant=variant
         )
         gmax_t = jax.lax.pmax(total, AXIS)
         gmax_c = jax.lax.pmax(ncell, AXIS)
@@ -61,14 +63,14 @@ def _phase_count(sdf, X, Y, Z, tiles, live, mesh, cshape, tile, tpd, chunk):
 @partial(
     jax.jit,
     static_argnames=("mesh", "cshape", "tile", "edge_capacity", "capacity",
-                     "cell_capacity"),
+                     "cell_capacity", "variant"),
 )
 def _phase_emit(vols, case, emask, tiles, live, mesh, cshape, tile,
-                edge_capacity, capacity, cell_capacity):
+                edge_capacity, capacity, cell_capacity, variant="default"):
     def body(vols, case, emask, tiles, live):
         everts, faces, n = core_sparse._emit_tiles_indexed(
             vols, tiles, live, case, emask, cshape, edge_capacity, capacity,
-            cell_capacity, tile,
+            cell_capacity, tile, variant=variant,
         )
         return everts[None], faces[None], n[None]
 
@@ -85,7 +87,8 @@ def _phase_emit(vols, case, emask, tiles, live, mesh, cshape, tile,
 
 
 def mesh_sparse_tiles_sharded(sdf_c, X, Y, Z, skip, tile, mesh, dtype,
-                              chunk_tiles=128, return_indexed=False):
+                              chunk_tiles=128, return_indexed=False,
+                              variant="default"):
     """Sharded tiled-sparse pipeline over a device mesh.
 
     Same inputs/outputs as core.sparse.mesh_sparse_tiles (incl.
@@ -132,7 +135,7 @@ def mesh_sparse_tiles_sharded(sdf_c, X, Y, Z, skip, tile, mesh, dtype,
     vols, case, emask, nedges, per_tile, gmax_t, gmax_c, gmax_e = (
         _phase_count(
             sdf_c, Xd, Yd, Zd, tiles_d, live_d, mesh, cshape, tile, tpd,
-            chunk_tiles,
+            chunk_tiles, variant,
         )
     )
     nmax = int(gmax_t)
@@ -150,7 +153,7 @@ def mesh_sparse_tiles_sharded(sdf_c, X, Y, Z, skip, tile, mesh, dtype,
     edge_capacity = mc.round_capacity(int(gmax_e))
     everts, faces, counts = _phase_emit(
         vols, case, emask, tiles_d, live_d, mesh, cshape, tile,
-        edge_capacity, capacity, cell_capacity,
+        edge_capacity, capacity, cell_capacity, variant,
     )
 
     # Per-shard indexed readback + assembly (shared with the z-slab
