@@ -126,6 +126,29 @@ def main():
         pts = f.generate(samples=samples, verbose=False)
         t_e2e = min(t_e2e, time.perf_counter() - t0)
 
+    # --- flagship scale: 2^26 (the docs' headline claims, regression-
+    # guarded here so BENCH_r* carries every number PERF.md quotes) ------
+    # (a) raw eval throughput on the example model at 2^26.
+    step26 = (volume / 2**26) ** (1 / 3)
+    X26 = np.arange(x0, x1, step26)
+    Y26 = np.arange(y0, y1, step26)
+    Z26 = np.arange(z0, z1, step26)
+    t_eval26, _ = _timed(
+        engine._eval_volume, sdf_c, X26, Y26, Z26, dtype, K=4, reps=2
+    )
+    pts26_per_s = (len(X26) * len(Y26) * len(Z26)) / t_eval26
+    # (b) warm end-to-end knurling at 2^26 (the workload suite's flagship
+    # sparse-tiles config; exercises cull + tiled eval + indexed emit).
+    from sdf_tpu.models.zoo import knurling
+
+    k26 = knurling()
+    k26.generate(samples=2**26, verbose=False)  # warm (compile + memos)
+    t_knurl = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        kpts = k26.generate(samples=2**26, verbose=False)
+        t_knurl = min(t_knurl, time.perf_counter() - t0)
+
     print(
         json.dumps(
             {
@@ -143,6 +166,9 @@ def main():
                 "d2h_mb": round(mb, 2),
                 "e2e_ms": round(t_e2e * 1e3, 2),
                 "triangles": len(pts) // 3,
+                "eval_2p26_pts_per_s": round(pts26_per_s),
+                "knurling_2p26_e2e_s": round(t_knurl, 3),
+                "knurling_2p26_triangles": len(kpts) // 3,
             }
         )
     )
