@@ -627,13 +627,13 @@ def generate(
         except Exception:
             mkey = None
         with _phase("sparse_tiles", stats):
-            # use_pallas=True means REQUIRED (the fused per-tile kernel;
-            # failures surface) -- there is no auto mode here because the
-            # kernel measured slower than XLA's chunked tile eval on v5e
-            # (see the note above).
+            # use_pallas passes through: None = auto (the lane-major
+            # batched kernel on TPU where the tree fits VMEM, XLA
+            # otherwise -- memoized; see sparse._eval_tiles_auto),
+            # True = required, False = XLA.
             return sparse_mod.mesh_sparse_tiles(
                 sdf_c, X, Y, Z, skip, s, dtype,
-                use_pallas=(use_pallas is True),
+                use_pallas=use_pallas,
                 interpret=(jax.default_backend() != "tpu"),
                 return_indexed=True, memo_key=mkey, variant=mc_variant,
             )

@@ -207,8 +207,30 @@ class kernel_vols:
 
     def __enter__(self):
         self._tok = _KVOLS.set(deque(self._blocks))
+        self._ktok = _IN_KERNEL.set(True)
         return self
 
     def __exit__(self, *exc):
         _KVOLS.reset(self._tok)
+        _IN_KERNEL.reset(self._ktok)
         return False
+
+
+_IN_KERNEL = contextvars.ContextVar("sdf_tpu_in_kernel", default=False)
+
+
+class in_kernel:
+    """Marks expression tracing as happening inside a Pallas kernel body,
+    so ops pick Mosaic-lowerable formulations (vecmath.arctan2)."""
+
+    def __enter__(self):
+        self._tok = _IN_KERNEL.set(True)
+        return self
+
+    def __exit__(self, *exc):
+        _IN_KERNEL.reset(self._tok)
+        return False
+
+
+def in_kernel_trace():
+    return _IN_KERNEL.get()

@@ -336,6 +336,59 @@ def _eval_tiles_pallas(sdf, Xp, Yp, Zp, tiles, ntc, tile, interpret):
     )
 
 
+# Memoized batched-kernel routing: expression-structure key -> chosen cz
+# (z-rows per kernel block) or False (= tree too wide for VMEM; XLA).
+# Mosaic holds every live intermediate in VMEM (no spilling), so deep CSG
+# trees overflow the ~16 MB scoped budget -- a failed compile costs
+# seconds through a tunneled runtime and must not be retried per call.
+_BATCHED_CZ = {}
+
+
+def _eval_tiles_auto(sdf_c, Xd, Yd, Zd, tiles_d, ntc, tile, dtype,
+                     chunk_tiles, interpret, required=False):
+    """Pick the fastest available tile evaluator.
+
+    Returns ``(vols, case_or_None, mode)``: the lane-major batched Pallas
+    kernel when the expression fits VMEM (measured 1.7-1.8x faster than
+    XLA's chunked eval + classify on v5e), else XLA.  ``required`` raises
+    instead of falling back.
+    """
+    from . import pallas_eval
+    from .engine import _pallas_key
+
+    key = _pallas_key(sdf_c, dtype, (int(Xd.shape[0]), int(Yd.shape[0])))
+    cz = _BATCHED_CZ.get(key, "try")
+    if cz == "try":
+        for trycz in (2, 1):
+            try:
+                vols, case = pallas_eval.eval_tiles_and_classify_batched(
+                    sdf_c, Xd, Yd, Zd, tiles_d, ntc, tile,
+                    interpret=interpret, cz=trycz,
+                )
+                jax.block_until_ready(vols)
+                if len(_BATCHED_CZ) > 256:
+                    _BATCHED_CZ.clear()
+                _BATCHED_CZ[key] = trycz
+                return vols, case, "batched"
+            except Exception:
+                continue
+        _BATCHED_CZ[key] = False
+        cz = False
+    if cz:
+        vols, case = pallas_eval.eval_tiles_and_classify_batched(
+            sdf_c, Xd, Yd, Zd, tiles_d, ntc, tile, interpret=interpret,
+            cz=cz,
+        )
+        return vols, case, "batched"
+    if required:
+        raise RuntimeError(
+            "use_pallas=True: the expression does not fit the batched tile "
+            "kernel's VMEM budget (see PERF.md)"
+        )
+    vols = _eval_tiles(sdf_c, Xd, Yd, Zd, tiles_d, ntc, chunk_tiles, tile)
+    return vols, None, "xla"
+
+
 def unpack_tiles_indexed(epack, fpack, tiles_np, tile, dtype=np.float32):
     """Host decode of the packed tiles emit (numpy): bit-identical to the
     plain ``_emit_tiles_indexed`` outputs (same IEEE float32 ops)."""
@@ -385,11 +438,14 @@ def mesh_sparse_tiles(sdf_c, X, Y, Z, skip, tile, dtype, chunk_tiles=128,
     indexed mesh the device emitted (soup == everts[faces.reshape(-1)]).
     ``skip`` is the probe-cull mask from the engine (True = culled) at
     ``tile`` (= engine batch_size) cells per tile per axis.
-    ``use_pallas=True`` fuses per-tile evaluation and cell classification
-    into one Pallas kernel (raises if the expression does not lower; the
-    engine handles fallback).  ``memo_key`` (an expression+grid
-    fingerprint from the engine) enables count memoization across repeat
-    runs.
+    ``use_pallas`` selects the evaluator: None = auto (on TPU,
+    gather-free expressions route to the lane-major batched Pallas
+    kernel -- measured 1.7-1.8x faster than XLA's chunked eval+classify
+    on v5e -- with a memoized XLA fallback for trees too wide for VMEM);
+    True = Pallas required (batched, or the per-tile hybrid kernel for
+    gather-bearing expressions; raises if neither lowers); False = XLA.
+    ``memo_key`` (an expression+grid fingerprint from the engine) enables
+    count memoization across repeat runs.
     """
     import hashlib
 
@@ -417,10 +473,21 @@ def mesh_sparse_tiles(sdf_c, X, Y, Z, skip, tile, dtype, chunk_tiles=128,
     tiles_d = jnp.asarray(tiles)
     live_d = jnp.asarray(live)
 
-    if use_pallas:
-        # Edge tiles read one tile past the end: pad each axis with its
-        # last coordinate (the same samples _eval_tiles's index clamping
-        # produces; the repeated-sample cells are masked downstream).
+    from . import hybrid
+
+    ngather = hybrid.count_gathers(sdf_c)
+    if use_pallas is None:
+        use_pallas = (
+            "auto" if (jax.default_backend() == "tpu" and ngather == 0)
+            else False
+        )
+    mode = "xla"
+    if use_pallas is True and ngather:
+        # Gather-bearing expressions: the per-tile kernel with the
+        # hybrid XLA pre-pass.  Edge tiles read one tile past the end:
+        # pad each axis with its last coordinate (the same samples
+        # _eval_tiles's index clamping produces; the repeated-sample
+        # cells are masked downstream).
         def padf(A):
             return jnp.concatenate(
                 [A, jnp.full((tile,), A[-1], dtype=A.dtype)]
@@ -430,23 +497,31 @@ def mesh_sparse_tiles(sdf_c, X, Y, Z, skip, tile, dtype, chunk_tiles=128,
             sdf_c, padf(Xd), padf(Yd), padf(Zd), tiles_d, ntc, tile,
             interpret,
         )
-        if variant != "default":
-            case = None  # the fused kernel classifies with default codes
-        total, per_tile, ncell, case, nedge, emask = _count_tiles(
-            vols, tiles_d, live_d, cshape, tile, case, variant
+        mode = "pertile"
+    elif use_pallas and not ngather:
+        vols, case, mode = _eval_tiles_auto(
+            sdf_c, Xd, Yd, Zd, tiles_d, ntc, tile, dtype, chunk_tiles,
+            interpret, required=(use_pallas is True),
         )
     else:
-        vols = _eval_tiles(sdf_c, Xd, Yd, Zd, tiles_d, ntc, chunk_tiles, tile)
-        total, per_tile, ncell, case, nedge, emask = _count_tiles(
-            vols, tiles_d, live_d, cshape, tile, variant=variant
+        # XLA (also the auto route for gather-bearing expressions: their
+        # per-tile hybrid kernel measured slower than XLA's chunked eval)
+        vols, case = (
+            _eval_tiles(sdf_c, Xd, Yd, Zd, tiles_d, ntc, chunk_tiles, tile),
+            None,
         )
+    if variant != "default":
+        case = None  # the fused kernels classify with default codes
+    total, per_tile, ncell, case, nedge, emask = _count_tiles(
+        vols, tiles_d, live_d, cshape, tile, case, variant
+    )
     # Counts are deterministic in (expression, grid, dtype, cull mask,
     # eval path): on a memoized repeat run, skip the pre-emit sync and
     # fetch per-tile stats WITH the mesh readback in one device_get.
     ckey = cached = None
     if memo_key is not None:
         ckey = (
-            memo_key, bool(use_pallas), tile, variant,
+            memo_key, mode, tile, variant,
             hashlib.sha256(np.ascontiguousarray(skip).tobytes()).hexdigest(),
         )
         cached = _COUNTS_MEMO.get(ckey)

@@ -34,6 +34,7 @@ UP = Z
 
 # Helpers (ref sdf/d3.py:67-85) -- shared with shapes2 via ops/vecmath.py
 
+from . import vecmath as vm  # noqa: E402
 from .vecmath import (  # noqa: E402
     _dot,
     _length,
@@ -161,7 +162,7 @@ def capsule(a, b, radius):
     def fn(q, p):
         pa = p - q["a"]
         ba = q["b"] - q["a"]
-        h = jnp.clip(_mdot(pa, ba) / jnp.dot(ba, ba), 0, 1)
+        h = jnp.clip(_mdot(pa, ba) / vm._dotv(ba, ba), 0, 1)
         return _length(pa - _vmul(ba, h)) - q["radius"]
 
     return fn, params
@@ -184,7 +185,7 @@ def capped_cylinder(a, b, radius):
     def fn(q, p):
         ba = q["b"] - q["a"]
         pa = p - q["a"]
-        baba = jnp.dot(ba, ba)
+        baba = vm._dotv(ba, ba)
         paba = _mdot(pa, ba)
         x = _length(pa * baba - _vmul(ba, paba)) - q["radius"] * baba
         y = jnp.abs(paba - baba * 0.5) - baba * 0.5
@@ -226,7 +227,7 @@ def capped_cone(a, b, ra, rb):
     def fn(q, p):
         a_, b_, ra_, rb_ = q["a"], q["b"], q["ra"], q["rb"]
         rba = rb_ - ra_
-        baba = jnp.dot(b_ - a_, b_ - a_)
+        baba = vm._dotv(b_ - a_, b_ - a_)
         pa = p - a_
         papa = _dot(pa, pa)
         paba = _mdot(pa, b_ - a_) / baba
@@ -451,7 +452,7 @@ def circular_array(other, count, offset=0):
     def fn(q, p):
         x, y, z = p.c
         d = jnp.hypot(x, y)
-        a = jnp.arctan2(y, x) % da
+        a = vm.arctan2(y, x) % da
         d1 = q["other"](_vec(jnp.cos(a - da) * d, jnp.sin(a - da) * d, z))
         d2 = q["other"](_vec(jnp.cos(a) * d, jnp.sin(a) * d, z))
         return _min(d1, d2)
@@ -516,7 +517,7 @@ def bend_linear(other, p0, p1, v, e=ease.linear):
 
     def fn(q, p):
         ab = q["ab"]
-        t = jnp.clip(_mdot(p - q["p0"], ab) / jnp.dot(ab, ab), 0, 1)
+        t = jnp.clip(_mdot(p - q["p0"], ab) / vm._dotv(ab, ab), 0, 1)
         return q["other"](p + _vmul(q["v"], e(t)))
 
     return fn, params
@@ -549,7 +550,7 @@ def transition_linear(f0, f1, p0=-Z, p1=Z, e=ease.linear):
         d1 = q["f0"](p)
         d2 = q["f1"](p)
         ab = q["ab"]
-        t = jnp.clip(_mdot(p - q["p0"], ab) / jnp.dot(ab, ab), 0, 1)
+        t = jnp.clip(_mdot(p - q["p0"], ab) / vm._dotv(ab, ab), 0, 1)
         t = e(t)
         return t * d2 + (1 - t) * d1
 
@@ -589,7 +590,7 @@ def wrap_around(other, x0, x1, r=None, e=ease.linear):
     def fn(q, p):
         x, y, z = p.c
         d = jnp.hypot(x, y) - q["r"]
-        a = jnp.arctan2(y, x)
+        a = vm.arctan2(y, x)
         t = e((a + jnp.pi) / (2 * jnp.pi))
         p0_, p1_, v_ = q["p0"], q["p1"], q["v"]
         wx = p0_[0] + (p1_[0] - p0_[0]) * t + v_[0] * d

@@ -19,6 +19,60 @@ _max = jnp.maximum
 _vec = Points
 
 
+# --- kernel-safe arctan2 ---------------------------------------------------
+# Mosaic has no atan/atan2 lowering, so expressions that compute angles
+# (circular_array, wrap_around) would force the whole tree off the fused
+# Pallas kernels.  Inside kernel tracing (hybrid.in_kernel) arctan2 is a
+# degree-9 polynomial in t^2 after the standard octant reduction
+# (max |err| 7.6e-9 over the reduced range -- below f32 resolution at pi
+# scale); everywhere else it is jnp.arctan2.  The two paths can differ by
+# ~1 ulp, like every other Mosaic-vs-XLA op (the engine already keys its
+# count memos on the eval path).
+_ATAN_POLY = np.array(
+    [
+        0.9999999981419239, -0.3333329278773662, 0.19998532264227084,
+        -0.14264888592365205, 0.1095834127545905, -0.08427560868449623,
+        0.058456508067943565, -0.03174908480101869, 0.011256773885438904,
+        -0.0018773524043047003,
+    ]
+)
+
+
+def _atan_01(t):
+    """atan(t) for t in [0, 1]: t * P(t^2), Horner.  Coefficients enter
+    as weak Python floats so they never promote the field dtype."""
+    u = t * t
+    p = float(_ATAN_POLY[-1])
+    for c in _ATAN_POLY[-2::-1]:
+        p = p * u + float(c)
+    return t * p
+
+
+def arctan2(y, x):
+    """jnp.arctan2 outside kernels; polynomial reduction inside (see above)."""
+    from ..core import hybrid
+
+    if not hybrid.in_kernel_trace():
+        return jnp.arctan2(y, x)
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    lo = jnp.minimum(ax, ay)
+    hi = jnp.maximum(ax, ay)
+    t = lo / jnp.where(hi == 0, 1.0, hi)
+    a = _atan_01(t)
+    a = jnp.where(ay > ax, np.pi / 2 - a, a)  # octant unswap
+    a = jnp.where(x < 0, np.pi - a, a)
+    a = jnp.where(y < 0, -a, a)  # y == +/-0: keeps +pi for x<0, 0 else
+    return a
+
+
+def _dotv(a, b):
+    """Scalar dot of two tiny parameter vectors as explicit multiply-adds
+    (a (k,)-dot lowers to a dot_general XLA pads onto the MXU -- and
+    Mosaic cannot lower scalar-output dots at all)."""
+    return sum(a[i] * b[i] for i in range(a.shape[0]))
+
+
 def _length(a):
     # Double-where safe norm: value-identical to a euclidean norm, but the
     # gradient at ||a|| == 0 is 0 instead of NaN (interior points of

@@ -27,8 +27,16 @@ def test_pallas_matches_xla(builder):
     vol, case = pallas_eval.eval_and_classify(
         sdf_c, X, Y, Z, jnp.float64, bz=4, interpret=True
     )
-    np.testing.assert_allclose(np.asarray(vol), vol_ref, rtol=1e-12, atol=1e-12)
-    np.testing.assert_array_equal(np.asarray(case), case_ref)
+    # Angle-bearing models (gearlike: circular_array) use the kernel-safe
+    # polynomial arctan2 inside kernel traces (Mosaic has no atan
+    # lowering; vecmath.arctan2) -- 7.6e-9 max error by construction.
+    tol = dict(rtol=2e-8, atol=2e-8) if builder is gearlike else dict(
+        rtol=1e-12, atol=1e-12
+    )
+    np.testing.assert_allclose(np.asarray(vol), vol_ref, **tol)
+    mism = int((np.asarray(case) != case_ref).sum())
+    assert mism <= (case_ref.size // 10000), mism  # sign flips only at
+    # |d| < 2e-8 crossings (none expected at this grid)
 
 
 def test_generate_with_pallas_matches_default():
@@ -267,3 +275,63 @@ def test_hybrid_gather_sparse_tiles_multi_call_parent():
     ta = ta[np.lexsort(ta.T[::-1])]
     tb = tb[np.lexsort(tb.T[::-1])]
     np.testing.assert_allclose(ta, tb, atol=1e-5)
+
+
+def test_batched_tile_kernel_matches_xla():
+    import sdf_tpu as st
+    """Lane-major batched tile kernel (interpret): vols + cases equal the
+    XLA chunked tile eval, including edge tiles (index clamping) and
+    padded tile rows; covers rotate/circular_array (the kernel-safe
+    polynomial arctan2, vecmath.arctan2)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from sdf_tpu.core import pallas_eval, sparse as sp
+    from sdf_tpu.core.node import cast
+    import jax
+
+    f = st.sphere(1) & st.box(1.5)
+    f |= st.capsule(-st.Z, st.Z, 0.3).rotate(st.pi / 4).circular_array(6, 0.8)
+    sdf_c = cast(f, jnp.float32)
+    X = np.arange(-1.3, 1.3, 0.04)
+    s = 16
+    ncx = (len(X) - 1 + s - 1) // s
+    tiles = np.argwhere(np.ones((ncx,) * 3, bool)).astype(np.int32)
+    ntc = len(tiles)  # every tile, incl. clamped edge tiles
+    Xd = jnp.asarray(X, jnp.float32)
+    tiles_d = jnp.asarray(tiles)
+    ref = sp._eval_tiles(sdf_c, Xd, Xd, Xd, tiles_d, ntc, 128, s)
+    case_ref = jax.jit(sp._tile_cases, static_argnums=1)(ref, s)
+    for cz in (4, 2, 1):
+        v2, c2 = pallas_eval.eval_tiles_and_classify_batched(
+            sdf_c, Xd, Xd, Xd, tiles_d, ntc, s, interpret=True, cz=cz
+        )
+        np.testing.assert_allclose(
+            np.asarray(v2), np.asarray(ref), atol=2e-6
+        )
+        # the polynomial arctan2 can flip sign classifications only for
+        # |d| < 3e-7; allow a vanishing fraction of case flips
+        mism = int((np.asarray(c2) != np.asarray(case_ref)).sum())
+        assert mism <= case_ref.size * 1e-4, mism
+
+
+def test_tiles_auto_routing_interpret():
+    import sdf_tpu as st
+    """mesh_sparse_tiles(use_pallas=True) routes gather-free expressions
+    to the batched kernel and produces the XLA path's triangles."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    f = st.sphere(1) | st.sphere(0.5).translate((1.2, 0, 0))
+    kw = dict(samples=2**14, verbose=False, dtype=jnp.float32,
+              bounds=((-1.3, -1.2, -1.2), (1.9, 1.2, 1.2)), batch_size=8)
+    import jax
+    from sdf_tpu.parallel.grid import make_mesh
+
+    kw["mesh"] = make_mesh(jax.devices()[:1])
+    a = f.generate(sparse="tiles", use_pallas=False, **kw)
+    b = f.generate(sparse="tiles", use_pallas=True, **kw)
+    ta = np.asarray(a).reshape(-1, 9).round(5)
+    tb = np.asarray(b).reshape(-1, 9).round(5)
+    ta = ta[np.lexsort(ta.T[::-1])]
+    tb = tb[np.lexsort(tb.T[::-1])]
+    np.testing.assert_allclose(ta, tb, atol=1e-4)
