@@ -230,7 +230,7 @@ def eval_tiles_and_classify(sdf_c, X, Y, Z, tiles, ntc, tile,
 
 
 def _tile_kernel_batched(xw_ref, yw_ref, zw_ref, *rest, fn, treedef, scalar,
-                         tile, cz):
+                         tile, cz, xs):
     """Fused eval+classify for K=128 tiles at once, tiles on the LANES.
 
     The per-tile kernel (``_tile_kernel``) lays one (TS, TS, TS) volume
@@ -238,18 +238,21 @@ def _tile_kernel_batched(xw_ref, yw_ref, zw_ref, *rest, fn, treedef, scalar,
     vector work) and each program is too small to amortize its overhead
     -- measured SLOWER than XLA's chunked tile eval in round 2.  This
     variant makes the tile axis the minor dim (exactly 128 lanes) and
-    chunks the tile z extent across the grid, so every vector op is full
-    width: dims are (z-rows, x, y, K) with (x-sublane, K-lane) tiling.
+    chunks the tile z (and optionally x) extent across the grid, so
+    every vector op is full width: dims are (z-rows, x-rows, y, K) with
+    (y-sublane, K-lane) tiling.  Smaller (cz, xs) blocks trade halo
+    recompute for VMEM -- Mosaic holds every live intermediate in VMEM
+    (no spilling), so wide expression trees only fit at small blocks.
 
-    Block shapes: xw (1, TS, 1, K), yw (1, 1, TS, K), zw (1, cz+1, 1, K)
-    coordinate windows precomputed by XLA (cheap gathers); outputs
-    vol (cz, TS, TS, K) and case (cz, tile, tile, K) per (group, zchunk)
-    grid step.
+    Block shapes: xw (1, xs+1, 1, K), yw (1, 1, TS, K), zw
+    (1, cz+1, 1, K) coordinate windows precomputed by XLA (cheap
+    gathers); outputs vol (cz, xs, TS, K) and case (cz, xs, tile, K)
+    per (group, xchunk, zchunk) grid step.
     """
     TS = tile + 1
     param_refs = rest[:-2]
     vol_ref, case_ref = rest[-2:]
-    x = xw_ref[...]  # (1, TS, 1, K): varies along the x dim
+    x = xw_ref[...]  # (1, xs+1, 1, K): varies along the x dim
     y = yw_ref[...]  # (1, 1, TS, K)
     K = x.shape[-1]
     z = zw_ref[...].reshape(cz + 1, 1, 1, K)  # leading-dims reshape only
@@ -260,34 +263,41 @@ def _tile_kernel_batched(xw_ref, yw_ref, zw_ref, *rest, fn, treedef, scalar,
     params = jax.tree_util.tree_unflatten(treedef, leaves)
     with hybrid.in_kernel():
         d = jnp.broadcast_to(
-            fn(params, Points(x, y, z)), (cz + 1, TS, TS, K)
+            fn(params, Points(x, y, z)), (cz + 1, xs + 1, TS, K)
         )
-    vol_ref[...] = d[:cz]
+    vol_ref[...] = d[:cz, :xs]
 
     inside = d < 0
-    case = jnp.zeros((cz, tile, tile, K), dtype=jnp.int32)
+    case = jnp.zeros((cz, xs, tile, K), dtype=jnp.int32)
     for b, (ox, oy, oz) in enumerate(np.asarray(CORNER_OFFSETS)):
-        corner = inside[oz : cz + oz, ox : tile + ox, oy : tile + oy, :]
+        corner = inside[oz : cz + oz, ox : xs + ox, oy : tile + oy, :]
         case = case | (corner.astype(jnp.int32) << b)
     case_ref[...] = case
 
 
-@partial(jax.jit, static_argnames=("ntc", "tile", "interpret", "cz", "lanes"))
+@partial(jax.jit, static_argnames=("ntc", "tile", "interpret", "cz", "xs",
+                                   "lanes"))
 def eval_tiles_and_classify_batched(sdf_c, X, Y, Z, tiles, ntc, tile,
-                                    interpret=False, cz=4, lanes=128):
+                                    interpret=False, cz=4, xs=None,
+                                    lanes=128):
     """Lane-major fused per-tile eval+classify (see _tile_kernel_batched).
 
     Same contract as ``eval_tiles_and_classify``, except X/Y/Z are the
     UNPADDED device axis coordinate vectors (indices clamp to the grid):
     tiles (ntc, 3) int32; returns (vols (ntc, TS, TS, TS),
-    case (ntc, tile, tile, tile)).  Gather-bearing expressions are not
-    supported here (callers route those to the per-tile kernel or XLA).
+    case (ntc, tile, tile, tile)).  ``cz``/``xs`` are the z/x rows per
+    kernel block (xs=None = the full tile extent).  Gather-bearing
+    expressions are not supported here (callers route those to the
+    per-tile kernel or XLA).
     """
     TS = tile + 1
     K = lanes
     ng = -(-ntc // K)
     npad = ng * K
     nzc = -(-TS // cz)  # z-chunks covering the TS sample rows
+    if xs is None:
+        xs = TS
+    nxc = -(-TS // xs)
     nx, ny, nz = X.shape[0], Y.shape[0], Z.shape[0]
     tiles_p = (
         jnp.concatenate([tiles, jnp.zeros((npad - ntc, 3), tiles.dtype)])
@@ -296,59 +306,68 @@ def eval_tiles_and_classify_batched(sdf_c, X, Y, Z, tiles, ntc, tile,
     )
 
     ar = jnp.arange(TS)
-    # (npad, TS) coordinate windows, then lane-major group layouts.
-    xw = X[jnp.clip(tiles_p[:, 0][:, None] * tile + ar, 0, nx - 1)]
+
+    def windows(axis_coords, t_axis, n_axis, nc, rows):
+        # per-chunk rows c*rows + i for i in [0, rows], clamped into the
+        # tile (overrun rows are trimmed after the kernel).
+        wi = jnp.clip(
+            jnp.arange(nc)[:, None] * rows + jnp.arange(rows + 1)[None, :],
+            0, TS - 1,
+        )  # (nc, rows+1)
+        return axis_coords[jnp.clip(
+            tiles_p[:, t_axis][:, None, None] * tile + wi[None], 0,
+            n_axis - 1,
+        )]  # (npad, nc, rows+1)
+
+    xw = windows(X, 0, nx, nxc, xs)
     yw = Y[jnp.clip(tiles_p[:, 1][:, None] * tile + ar, 0, ny - 1)]
-    # z windows per chunk: rows zc*cz + i for i in [0, cz], clamped into
-    # the tile (overrun rows are trimmed after the kernel).
-    zi = jnp.clip(
-        jnp.arange(nzc)[:, None] * cz + jnp.arange(cz + 1)[None, :],
-        0, TS - 1,
-    )  # (nzc, cz+1)
-    zw = Z[jnp.clip(
-        tiles_p[:, 2][:, None, None] * tile + zi[None], 0, nz - 1
-    )]  # (npad, nzc, cz+1)
+    zw = windows(Z, 2, nz, nzc, cz)
 
     def lanes_of(a):  # (npad, ...) -> (ng, ..., K)
         return jnp.moveaxis(a.reshape(ng, K, *a.shape[1:]), 1, -1)
 
-    xw4 = lanes_of(xw)[:, :, None, :]  # (ng, TS, 1, K)
+    xw4 = lanes_of(xw).reshape(ng, nxc * (xs + 1), 1, K)
     yw4 = lanes_of(yw)[:, None, :, :]  # (ng, 1, TS, K)
     zw4 = lanes_of(zw).reshape(ng, nzc * (cz + 1), 1, K)
 
     leaves, prep = _prep_tree(sdf_c, X.dtype)
-    kern = partial(_tile_kernel_batched, tile=tile, cz=cz, **prep)
-    full = lambda a: pl.BlockSpec(a.shape, lambda g, zc: (0,) * a.ndim)
+    kern = partial(_tile_kernel_batched, tile=tile, cz=cz, xs=xs, **prep)
+    full = lambda a: pl.BlockSpec(a.shape, lambda g, xc, zc: (0,) * a.ndim)
     vol4, case4 = pl.pallas_call(
         kern,
-        grid=(ng, nzc),
+        grid=(ng, nxc, nzc),
         in_specs=[
-            pl.BlockSpec((1, TS, 1, K), lambda g, zc: (g, 0, 0, 0)),
-            pl.BlockSpec((1, 1, TS, K), lambda g, zc: (g, 0, 0, 0)),
-            pl.BlockSpec((1, cz + 1, 1, K), lambda g, zc: (g, zc, 0, 0)),
+            pl.BlockSpec((1, xs + 1, 1, K), lambda g, xc, zc: (g, xc, 0, 0)),
+            pl.BlockSpec((1, 1, TS, K), lambda g, xc, zc: (g, 0, 0, 0)),
+            pl.BlockSpec((1, cz + 1, 1, K), lambda g, xc, zc: (g, zc, 0, 0)),
         ]
         + [full(l) for l in leaves],
         out_specs=(
             pl.BlockSpec(
-                (cz, TS, TS, K), lambda g, zc: (g * nzc + zc, 0, 0, 0)
+                (cz, xs, TS, K),
+                lambda g, xc, zc: (g * nzc + zc, xc, 0, 0),
             ),
             pl.BlockSpec(
-                (cz, tile, tile, K), lambda g, zc: (g * nzc + zc, 0, 0, 0)
+                (cz, xs, tile, K),
+                lambda g, xc, zc: (g * nzc + zc, xc, 0, 0),
             ),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((ng * nzc * cz, TS, TS, K), X.dtype),
-            jax.ShapeDtypeStruct((ng * nzc * cz, tile, tile, K), jnp.int32),
+            jax.ShapeDtypeStruct((ng * nzc * cz, nxc * xs, TS, K), X.dtype),
+            jax.ShapeDtypeStruct(
+                (ng * nzc * cz, nxc * xs, tile, K), jnp.int32
+            ),
         ),
         interpret=interpret,
     )(xw4, yw4, zw4, *leaves)
 
-    def detile(a, rows):
-        a = a.reshape(ng, nzc * cz, a.shape[1], a.shape[2], K)[:, :rows]
-        a = jnp.moveaxis(a, (1, 4), (4, 1))  # (g, z, x, y, k) -> (g, k, x, y, z)
-        return a.reshape(ng * K, a.shape[2], a.shape[3], rows)[:ntc]
+    def detile(a, zrows, xrows):
+        a = a.reshape(ng, nzc * cz, a.shape[1], a.shape[2], K)
+        a = a[:, :zrows, :xrows]
+        a = jnp.moveaxis(a, (1, 4), (4, 1))  # (g,z,x,y,k) -> (g,k,x,y,z)
+        return a.reshape(ng * K, xrows, a.shape[3], zrows)[:ntc]
 
-    return detile(vol4, TS), detile(case4, tile)
+    return detile(vol4, TS, TS), detile(case4, tile, tile)
 
 
 def _prep_tree(sdf_c, dtype):

@@ -357,27 +357,31 @@ def _eval_tiles_auto(sdf_c, Xd, Yd, Zd, tiles_d, ntc, tile, dtype,
     from .engine import _pallas_key
 
     key = _pallas_key(sdf_c, dtype, (int(Xd.shape[0]), int(Yd.shape[0])))
-    cz = _BATCHED_CZ.get(key, "try")
-    if cz == "try":
-        for trycz in (2, 1):
+    blk = _BATCHED_CZ.get(key, "try")
+    if blk == "try":
+        # Block-size ladder: shrink (z-rows, x-rows) until the tree's
+        # live intermediates fit VMEM; halo recompute grows as blocks
+        # shrink ((cz+1)/cz * (xs+1)/xs), so try the largest first.
+        for trycz, tryxs in ((2, None), (3, 10), (1, 4)):
             try:
                 vols, case = pallas_eval.eval_tiles_and_classify_batched(
                     sdf_c, Xd, Yd, Zd, tiles_d, ntc, tile,
-                    interpret=interpret, cz=trycz,
+                    interpret=interpret, cz=trycz, xs=tryxs,
                 )
                 jax.block_until_ready(vols)
                 if len(_BATCHED_CZ) > 256:
                     _BATCHED_CZ.clear()
-                _BATCHED_CZ[key] = trycz
+                _BATCHED_CZ[key] = (trycz, tryxs)
                 return vols, case, "batched"
             except Exception:
                 continue
         _BATCHED_CZ[key] = False
-        cz = False
-    if cz:
+        blk = False
+    if blk:
+        cz, xs = blk
         vols, case = pallas_eval.eval_tiles_and_classify_batched(
             sdf_c, Xd, Yd, Zd, tiles_d, ntc, tile, interpret=interpret,
-            cz=cz,
+            cz=cz, xs=xs,
         )
         return vols, case, "batched"
     if required:

@@ -301,9 +301,9 @@ def test_batched_tile_kernel_matches_xla():
     tiles_d = jnp.asarray(tiles)
     ref = sp._eval_tiles(sdf_c, Xd, Xd, Xd, tiles_d, ntc, 128, s)
     case_ref = jax.jit(sp._tile_cases, static_argnums=1)(ref, s)
-    for cz in (4, 2, 1):
+    for cz, xs in ((4, None), (2, 8), (1, 4), (2, 5)):
         v2, c2 = pallas_eval.eval_tiles_and_classify_batched(
-            sdf_c, Xd, Xd, Xd, tiles_d, ntc, s, interpret=True, cz=cz
+            sdf_c, Xd, Xd, Xd, tiles_d, ntc, s, interpret=True, cz=cz, xs=xs
         )
         np.testing.assert_allclose(
             np.asarray(v2), np.asarray(ref), atol=2e-6
