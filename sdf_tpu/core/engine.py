@@ -603,16 +603,12 @@ def generate(
     def _tiles_path(skip):
         # Tiled sparse pipeline: evaluate only the tiles the probe cull
         # kept (SURVEY.md section 7 step 4); work scales with surface
-        # area instead of grid volume.  With use_pallas=True the
-        # per-tile evaluation + classification fuse into one Pallas
-        # kernel (pallas_eval.eval_tiles_and_classify).  Unlike the
-        # dense path, Pallas is NOT the TPU default here: measured on
-        # v5e at 2^22 the fused tile kernel is slower than XLA's chunked
-        # tile eval (1053 ms vs 680 ms e2e) -- per-tile (tile+1)^3
-        # volumes are too small to tile well onto the VPU, while XLA
-        # batches 128 tiles per dispatch.  It stays available for
-        # expressions where fusion wins (deep CSG trees bound on HBM
-        # traffic).
+        # area instead of grid volume.  On TPU, gather-free expressions
+        # default to the lane-major batched Pallas eval+classify kernel
+        # (128 tiles on the vector lanes; 1.3-1.8x XLA's chunked tile
+        # eval at 2^22, PERF.md) with a memoized XLA fallback for trees
+        # too wide for VMEM; gather-bearing expressions use the per-tile
+        # hybrid kernel only when use_pallas=True.
         from . import sparse as sparse_mod
         from ..utils import checkpoint as ckpt_mod
 
@@ -743,9 +739,12 @@ def generate(
         tshape = tuple(-(-c // s) for c in cshape)
         pallas_evaled = case is not None
         if pallas_evaled and mc_variant != "default":
-            # The fused kernel classifies with default codes; extended
-            # variants reclassify from the (kernel-evaluated) volume.
-            case = None
+            # Extend the fused kernel's 8-bit codes with the variant's
+            # saddle/interior bits (reusing them instead of re-deriving
+            # corner signs from the volume).
+            from . import mc33
+
+            case = mc33.classify_ext(vol, base_case=case)
             pallas_evaled = "vol"
         with _phase("mc_count", stats):
             if case is None:

@@ -65,13 +65,15 @@ def _offw_tab():
     ).astype(np.float32)
 
 
-def classify_ext(volume, level=0.0):
+def classify_ext(volume, level=0.0, base_case=None):
     """Extended case code per cell (int32, shape (..., nx-1, ny-1, nz-1)).
 
     Accepts leading batch dims (the tiled path classifies (ntc, TS, TS,
-    TS) tile volumes).  Mirrors mc33_build.ext_code (the float64 numpy
-    oracle-side implementation) in the volume's dtype; agreement is
-    pinned by tests/test_topology.py.
+    TS) tile volumes).  ``base_case`` reuses an already-computed 8-bit
+    corner-sign grid (e.g. from the fused Pallas eval+classify kernel)
+    instead of re-deriving it from corner compares.  Mirrors
+    mc33_build.ext_code (the float64 numpy oracle-side implementation)
+    in the volume's dtype; agreement is pinned by tests/test_topology.py.
     """
     nx, ny, nz = volume.shape[-3:]
     c = [
@@ -83,9 +85,12 @@ def classify_ext(volume, level=0.0):
         ] - level
         for ox, oy, oz in np.asarray(CORNER_OFFSETS)
     ]
-    case = jnp.zeros(c[0].shape, dtype=jnp.int32)
-    for i in range(8):
-        case = case | (jnp.int32(1 << i) * (c[i] < 0).astype(jnp.int32))
+    if base_case is not None:
+        case = base_case
+    else:
+        case = jnp.zeros(c[0].shape, dtype=jnp.int32)
+        for i in range(8):
+            case = case | (jnp.int32(1 << i) * (c[i] < 0).astype(jnp.int32))
 
     # Per-case offset + face weights via one one-hot matmul.
     flat = case.reshape(-1)

@@ -25,7 +25,7 @@ import numpy as np
 
 from . import compact, mc
 from .mc_tables import CORNER_OFFSETS
-from .mc import MAX_TRIS_PER_CELL, interpolate_slots, round_capacity
+from .mc import interpolate_slots, round_capacity
 from .node import Points
 
 
@@ -356,8 +356,25 @@ def _eval_tiles_auto(sdf_c, Xd, Yd, Zd, tiles_d, ntc, tile, dtype,
     from . import pallas_eval
     from .engine import _pallas_key
 
-    key = _pallas_key(sdf_c, dtype, (int(Xd.shape[0]), int(Yd.shape[0])))
+    # VMEM fit depends on the TILE size (block shapes are (cz, xs, TS, K)),
+    # so tile is part of the key.
+    key = (_pallas_key(sdf_c, dtype, (int(Xd.shape[0]), int(Yd.shape[0]))),
+           tile)
     blk = _BATCHED_CZ.get(key, "try")
+    last_exc = None
+    if blk not in ("try", False):
+        # Memoized block size: still guard the call (a stale entry must
+        # degrade to the ladder, not crash auto mode).
+        cz, xs = blk
+        try:
+            vols, case = pallas_eval.eval_tiles_and_classify_batched(
+                sdf_c, Xd, Yd, Zd, tiles_d, ntc, tile, interpret=interpret,
+                cz=cz, xs=xs,
+            )
+            return vols, case, "batched"
+        except Exception as e:
+            last_exc = e
+            blk = "try"
     if blk == "try":
         # Block-size ladder: shrink (z-rows, x-rows) until the tree's
         # live intermediates fit VMEM; halo recompute grows as blocks
@@ -373,22 +390,17 @@ def _eval_tiles_auto(sdf_c, Xd, Yd, Zd, tiles_d, ntc, tile, dtype,
                     _BATCHED_CZ.clear()
                 _BATCHED_CZ[key] = (trycz, tryxs)
                 return vols, case, "batched"
-            except Exception:
+            except Exception as e:
+                last_exc = e
                 continue
         _BATCHED_CZ[key] = False
-        blk = False
-    if blk:
-        cz, xs = blk
-        vols, case = pallas_eval.eval_tiles_and_classify_batched(
-            sdf_c, Xd, Yd, Zd, tiles_d, ntc, tile, interpret=interpret,
-            cz=cz, xs=xs,
-        )
-        return vols, case, "batched"
     if required:
         raise RuntimeError(
-            "use_pallas=True: the expression does not fit the batched tile "
-            "kernel's VMEM budget (see PERF.md)"
-        )
+            "use_pallas=True: the batched tile kernel failed for this "
+            "expression at every block size (VMEM overflow for wide "
+            "trees, or a lowering failure -- see the chained exception "
+            "and PERF.md)"
+        ) from last_exc
     vols = _eval_tiles(sdf_c, Xd, Yd, Zd, tiles_d, ntc, chunk_tiles, tile)
     return vols, None, "xla"
 
@@ -514,8 +526,11 @@ def mesh_sparse_tiles(sdf_c, X, Y, Z, skip, tile, dtype, chunk_tiles=128,
             _eval_tiles(sdf_c, Xd, Yd, Zd, tiles_d, ntc, chunk_tiles, tile),
             None,
         )
-    if variant != "default":
-        case = None  # the fused kernels classify with default codes
+    if variant != "default" and case is not None:
+        # extend the kernels' 8-bit codes with the variant bits
+        from . import mc33
+
+        case = mc33.classify_ext(vols, base_case=case)
     total, per_tile, ncell, case, nedge, emask = _count_tiles(
         vols, tiles_d, live_d, cshape, tile, case, variant
     )

@@ -112,8 +112,10 @@ def _phase_count(sdf, X, Y, Zs, keep_xy, mesh, c, ncz, tile, n_z_tiles,
                 sdf, X, Y, Zblk, interpret=interpret
             )
             if variant != "default":
-                # the fused kernel classifies with default codes
-                case = mc.get_tables(variant).classify(vol)
+                # extend the kernel's 8-bit codes with the variant bits
+                from ..core import mc33
+
+                case = mc33.classify_ext(vol, base_case=case)
         else:
             vol = _slab_eval(sdf, X, Y, Zblk, chunk_points)
             case = mc.get_tables(variant).classify(vol)
