@@ -96,3 +96,59 @@ def test_counts_memo_distinguishes_cull_masks(one_device):
     f.generate(sparse=True, mesh=m, **kw)
     assert "sparse_tiles" not in engine.LAST_STATS
     assert len(engine._COUNTS_MEMO) == 2
+
+
+def test_checkpoint_fingerprint_distinguishes_mc_variant(tmp_path):
+    """A cached mesh generated under one MC variant must not be resumed
+    for another (the fingerprint covers mc_variant)."""
+    import numpy as np
+    import jax.numpy as jnp
+    import sdf_tpu as st
+    from sdf_tpu.core import engine
+
+    f = st.sphere(1)
+    ck = str(tmp_path / "mesh.ckpt")
+    kw = dict(samples=2**12, verbose=False, dtype=jnp.float64,
+              bounds=((-1.2,) * 3, (1.2,) * 3), checkpoint=ck)
+    a = engine.generate(f, **kw)
+    b = engine.generate(f, mc_variant="lewiner", **kw)
+    c = engine.generate(f, **kw)  # resumes the default-variant entry
+    assert np.array_equal(np.asarray(a), np.asarray(c))
+    assert len(a) == len(b)  # sphere: same topology either way
+
+
+def test_batched_cz_memo_keys_on_tile_size():
+    """The batched-tile-kernel block-size memo must not reuse a block
+    size validated at one batch_size for another (VMEM fit depends on
+    tile+1), and a poisoned memo entry must degrade to the ladder, not
+    crash auto mode."""
+    import numpy as np
+    import jax.numpy as jnp
+    import sdf_tpu as st
+    from sdf_tpu.core import engine, sparse as sp
+    from sdf_tpu.core.node import cast
+
+    f = st.sphere(1)
+    sdf_c = cast(f, jnp.float32)
+    X = np.arange(-1.2, 1.2, 0.15)
+    Xd = jnp.asarray(X, jnp.float32)
+    tiles = jnp.zeros((1, 3), jnp.int32)
+    sp._BATCHED_CZ.clear()
+    v1, c1, m1 = sp._eval_tiles_auto(
+        sdf_c, Xd, Xd, Xd, tiles, 1, 8, jnp.float32, 128, True
+    )
+    v2, c2, m2 = sp._eval_tiles_auto(
+        sdf_c, Xd, Xd, Xd, tiles, 1, 4, jnp.float32, 128, True
+    )
+    keys = list(sp._BATCHED_CZ)
+    assert len(keys) == 2 and keys[0][1] != keys[1][1]  # tile in the key
+
+    # poison the memoized entry: reuse must fall back to the ladder
+    sp._BATCHED_CZ[keys[0]] = (9999, None)  # invalid block size
+    v3, c3, m3 = sp._eval_tiles_auto(
+        sdf_c, Xd, Xd, Xd, tiles, 1, 8, jnp.float32, 128, True
+    )
+    assert m3 in ("batched", "xla")
+    np.testing.assert_allclose(
+        np.asarray(v3), np.asarray(v1), rtol=1e-6, atol=1e-6
+    )
