@@ -75,11 +75,12 @@ class Tables:
         self.nsv = self.max_tris * 3
         self.case_bits = int(self.ncase - 1).bit_length()
         self.tf3 = np.maximum(tri_table, 0)  # padding clamped to edge 0
-        # (ncase, 3 * max_tris) edge ids laid out [v * max_tris + slot]
-        # for the one-hot matmul in _edge_ids_of.
-        self.edge_id_tab = np.concatenate(
-            [self.tf3[:, :, v] for v in range(3)], axis=1
-        ).astype(np.float32)
+        # (ncase * max_tris,) packed 3x4-bit cube-edge ids per (case,
+        # slot) for _edge_ids_of's single row gather (ids <= 11).
+        self.eid_pack = (
+            self.tf3[:, :, 0] | (self.tf3[:, :, 1] << 4)
+            | (self.tf3[:, :, 2] << 8)
+        ).reshape(-1).astype(np.int32)
         # ntri as a (rows, 16) nibble-decomposed table (see ntri_of).
         rows = -(-self.ncase // 16)
         pad = rows * 16 - self.ncase
@@ -224,19 +225,16 @@ _EDGE_ORIG = CORNER_OFFSETS[EDGE_CORNERS[:, 0]]  # (12, 3)
 
 def _edge_ids_of(case_t, slot, variant="default"):
     """Cube-edge ids of the three vertices of triangle ``slot`` of cell
-    case ``case_t``: three ``(n,)`` int32 arrays, via one one-hot matmul
-    (entries <= 11 are bf16-exact; XLA fuses the one-hot into the matmul
-    operand, replacing a (capacity, 9) row gather that measured
-    ~9.5 ns/row on v5e, 3.7 ms at 2^22) + a slot select."""
+    case ``case_t``: three ``(n,)`` int32 arrays, via ONE row-of-128
+    gather of a (ncase * max_tris)-entry table packing the triple as
+    3 x 4 bits (ids <= 11).  Replaces a (n, ncase) one-hot matmul + a
+    slot one-hot select: the packed gather moves ~1/30th the bytes and
+    needs no f32 round trip."""
     tab = get_tables(variant)
-    nsl = tab.max_tris
-    oh = jax.nn.one_hot(case_t, tab.ncase, dtype=jnp.bfloat16)
-    ev = oh @ jnp.asarray(tab.edge_id_tab, jnp.bfloat16)  # (n, 3 * nsl)
-    sel = jax.nn.one_hot(slot, nsl, dtype=ev.dtype)
-    return [
-        jnp.sum(ev[:, v * nsl : (v + 1) * nsl] * sel, axis=1).astype(jnp.int32)
-        for v in range(3)
-    ]
+    packed = compact.gather1d(
+        jnp.asarray(tab.eid_pack), case_t * tab.max_tris + slot
+    )
+    return [(packed >> (4 * v)) & 15 for v in range(3)]
 
 
 def _sel12(e, tab):

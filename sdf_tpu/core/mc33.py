@@ -65,58 +65,28 @@ def _offw_tab():
     ).astype(np.float32)
 
 
-def classify_ext(volume, level=0.0, base_case=None):
-    """Extended case code per cell (int32, shape (..., nx-1, ny-1, nz-1)).
+def extra_bits(c):
+    """Packed per-cell topology-resolution bits from the 8 corner values
+    ``c`` (broadcastable arrays, any common shape): int32
+    ``facebits | neg << 6 | pos << 7``.
 
-    Accepts leading batch dims (the tiled path classifies (ntc, TS, TS,
-    TS) tile volumes).  ``base_case`` reuses an already-computed 8-bit
-    corner-sign grid (e.g. from the fused Pallas eval+classify kernel)
-    instead of re-deriving it from corner compares.  Mirrors
-    mc33_build.ext_code (the float64 numpy oracle-side implementation)
-    in the volume's dtype; agreement is pinned by tests/test_topology.py.
+    Pure jnp math (no tables, no gathers), so it traces both under XLA
+    and inside Pallas kernels; identical formulas to mc33_build's
+    float64 numpy oracle, in the corners' dtype.
     """
-    nx, ny, nz = volume.shape[-3:]
-    c = [
-        volume[
-            ...,
-            ox : nx - 1 + ox,
-            oy : ny - 1 + oy,
-            oz : nz - 1 + oz,
-        ] - level
-        for ox, oy, oz in np.asarray(CORNER_OFFSETS)
-    ]
-    if base_case is not None:
-        case = base_case
-    else:
-        case = jnp.zeros(c[0].shape, dtype=jnp.int32)
-        for i in range(8):
-            case = case | (jnp.int32(1 << i) * (c[i] < 0).astype(jnp.int32))
-
-    # Per-case offset + face weights via one one-hot matmul.
-    flat = case.reshape(-1)
-    oh = jax.nn.one_hot(flat, 256, dtype=jnp.bfloat16)
-    ow = jnp.matmul(
-        oh, jnp.asarray(_offw_tab(), jnp.bfloat16),
-        preferred_element_type=jnp.float32,
-    )  # (N, 8) exact
-    ext = ow[:, 0] * 256.0 + ow[:, 1]
-
     # Face test: joined iff the bilinear saddle value is inside, i.e.
     # (a c - b d) and (a + c - b - d) have opposite signs (orientation-
-    # free; see mc33_build.face_joined_bits).  Weights are zero for
-    # unambiguous faces, so computing the bit everywhere is harmless.
+    # free; see mc33_build.face_joined_bits).  Computing the bit on
+    # unambiguous faces is harmless (their table weights are zero).
+    fb = jnp.zeros(jnp.broadcast_shapes(*(x.shape for x in c)), jnp.int32)
     for f, corners in enumerate(_FACES):
-        a, b, cc, dd = (c[i].reshape(-1) for i in corners)
+        a, b, cc, dd = (c[i] for i in corners)
         joined = ((a * cc - b * dd) * (a + cc - b - dd)) < 0
-        ext = ext + jnp.where(joined, ow[:, 2 + f], 0.0)
-    ext = ext.astype(jnp.int32)
+        fb = fb | (joined.astype(jnp.int32) << f)
 
     # Interior test: signs of the trilinear's critical values at critical
-    # points strictly inside the open cell (see mc33_build.interior_bits;
-    # identical formulas, volume dtype instead of float64).
-    c000, c100, c110, c010, c001, c101, c111, c011 = (
-        x.reshape(-1) for x in c
-    )
+    # points strictly inside the open cell (see mc33_build.interior_bits).
+    c000, c100, c110, c010, c001, c101, c111, c011 = c
     k1 = c100 - c000
     k2 = c010 - c000
     k3 = c001 - c000
@@ -137,7 +107,9 @@ def classify_ext(volume, level=0.0, base_case=None):
         zq = (-B + sgn * sq) / jnp.where(A == 0, 1.0, 2.0 * A)
         zl = -C / jnp.where(B == 0, 1.0, B)
         z = jnp.where(lin, zl, zq)
-        valid = jnp.where(lin, B != 0, disc >= 0)
+        # and/or instead of a bool select: keeps the expression
+        # Mosaic-lowerable too (no where() on i1 vectors).
+        valid = (lin & (B != 0)) | (~lin & (disc >= 0))
         den = k4 + k7 * z
         y = -(k1 + k5 * z) / jnp.where(den == 0, 1.0, den)
         x = -(k2 + k6 * z) / jnp.where(den == 0, 1.0, den)
@@ -153,5 +125,76 @@ def classify_ext(volume, level=0.0, base_case=None):
         )
         neg = neg | (ok & (fv < 0))
         pos = pos | (ok & (fv > 0))
-    ext = ext + neg.astype(jnp.int32) + 2 * pos.astype(jnp.int32)
+    return fb | (neg.astype(jnp.int32) << 6) | (pos.astype(jnp.int32) << 7)
+
+
+def ext_from_bits(case, extra):
+    """Extended case code from the 8-bit corner-sign ``case`` and the
+    packed ``extra`` bits (see extra_bits): the table part of the
+    classification -- one one-hot matmul for the per-case offset/weights,
+    then integer bit combines.  Shapes broadcast; returns int32.
+
+    The matmul runs TRANSPOSED -- (8, 256) @ (256, N) -> (8, N) -- so
+    the result's minor dim is the cell axis: an (N, 8) result pads its
+    8-wide minor dim onto the 128 vector lanes (16x HBM amplification;
+    the transpose cut whole-classify from 9.1 to 6.3 ms at a 2^22 grid,
+    same session, v5e)."""
+    flat = case.reshape(-1)
+    oh = jax.nn.one_hot(flat, 256, dtype=jnp.bfloat16, axis=0)  # (256, N)
+    ow = jnp.matmul(
+        jnp.asarray(_offw_tab().T, jnp.bfloat16), oh,
+        preferred_element_type=jnp.float32,
+    )  # (8, N) exact
+    ext = ow[0] * 256.0 + ow[1]
+    eflat = extra.reshape(-1)
+    for f in range(6):
+        ext = ext + jnp.where(((eflat >> f) & 1) > 0, ow[2 + f], 0.0)
+    ext = ext.astype(jnp.int32)
+    ext = ext + ((eflat >> 6) & 1) + 2 * ((eflat >> 7) & 1)
     return ext.reshape(case.shape)
+
+
+def _corners(volume, level=0.0):
+    """The 8 per-cell corner value arrays of ``volume`` (level-shifted)."""
+    nx, ny, nz = volume.shape[-3:]
+    return [
+        volume[
+            ...,
+            ox : nx - 1 + ox,
+            oy : ny - 1 + oy,
+            oz : nz - 1 + oz,
+        ] - level
+        for ox, oy, oz in np.asarray(CORNER_OFFSETS)
+    ]
+
+
+@jax.jit
+def _classify_ext_jit(volume, level, base_case):
+    c = _corners(volume, level)
+    if base_case is not None:
+        case = base_case
+    else:
+        case = jnp.zeros(c[0].shape, dtype=jnp.int32)
+        for i in range(8):
+            case = case | (jnp.int32(1 << i) * (c[i] < 0).astype(jnp.int32))
+    return ext_from_bits(case, extra_bits(c))
+
+
+def classify_ext(volume, level=0.0, base_case=None):
+    """Extended case code per cell (int32, shape (..., nx-1, ny-1, nz-1)).
+
+    Accepts leading batch dims (the tiled path classifies (ntc, TS, TS,
+    TS) tile volumes).  ``base_case`` reuses an already-computed 8-bit
+    corner-sign grid (e.g. from the fused Pallas eval+classify kernel)
+    instead of re-deriving it from corner compares.  Mirrors
+    mc33_build.ext_code (the float64 numpy oracle-side implementation)
+    in the volume's dtype; agreement is pinned by tests/test_topology.py.
+
+    A Pallas kernel for the saddle/interior float math was built and
+    measured (round 3): it computes the bits in 4.9 ms at a 2^22 grid,
+    but the XLA fusion absorbs that math into the table pass's streaming
+    for free -- the split (4.9 + 6.0 table) LOSES to the single fused
+    XLA program (6.3 ms, same session), so classification stays one
+    jitted XLA pass (PERF.md "lewiner classify").
+    """
+    return _classify_ext_jit(volume, level, base_case)

@@ -304,3 +304,40 @@ def test_example_model_golden_lewiner():
         assert int(z["n_triangles"]) == int(got["n_triangles"])
         assert int(z["euler"]) == int(got["euler"])
         assert str(z["soup_sha256"]) == str(got["soup_sha256"])
+
+
+def test_classify_ext_jit_matches_split_path():
+    """classify_ext == ext_from_bits(base, extra_bits(corners)) with and
+    without a precomputed base_case -- pins the refactor seam between
+    the float saddle/interior math and the table combine, and that a
+    nonzero level shifts both halves consistently."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(11)
+    v = jnp.asarray(rng.standard_normal((12, 11, 10)).astype(np.float32))
+    for level in (0.0, 0.125):
+        ref = np.asarray(mc33.classify_ext(v, level))
+        base = np.asarray(mc33.classify_ext(v, level))  # determinism
+        assert np.array_equal(ref, base)
+        got = np.asarray(
+            jax.jit(
+                lambda v: mc33.ext_from_bits(
+                    _base_of(v, level), mc33.extra_bits(mc33._corners(v, level))
+                )
+            )(v)
+        )
+        assert np.array_equal(ref, got), level
+    base8 = mc._cell_cases(v)
+    got2 = np.asarray(mc33.classify_ext(v, base_case=base8))
+    assert np.array_equal(np.asarray(mc33.classify_ext(v)), got2)
+
+
+def _base_of(v, level):
+    import jax.numpy as jnp
+
+    c = mc33._corners(v, level)
+    case = jnp.zeros(c[0].shape, dtype=jnp.int32)
+    for i in range(8):
+        case = case | (jnp.int32(1 << i) * (c[i] < 0).astype(jnp.int32))
+    return case
