@@ -70,9 +70,12 @@ def extra_bits(c):
     ``c`` (broadcastable arrays, any common shape): int32
     ``facebits | neg << 6 | pos << 7``.
 
-    Pure jnp math (no tables, no gathers), so it traces both under XLA
-    and inside Pallas kernels; identical formulas to mc33_build's
-    float64 numpy oracle, in the corners' dtype.
+    Pure jnp math (no tables, no gathers).  The interior test is the
+    SHARED guarded algorithm mc33_build.interior_flags -- the float64
+    numpy oracle runs the identical code, so oracle and device agree by
+    construction even on degenerate cells (flat faces, boundary double
+    roots, exact-tie critical values), where naive formulas let FMA
+    contraction / evaluation order flip tunnel bits between backends.
     """
     # Face test: joined iff the bilinear saddle value is inside, i.e.
     # (a c - b d) and (a + c - b - d) have opposite signs (orientation-
@@ -84,47 +87,9 @@ def extra_bits(c):
         joined = ((a * cc - b * dd) * (a + cc - b - dd)) < 0
         fb = fb | (joined.astype(jnp.int32) << f)
 
-    # Interior test: signs of the trilinear's critical values at critical
-    # points strictly inside the open cell (see mc33_build.interior_bits).
-    c000, c100, c110, c010, c001, c101, c111, c011 = c
-    k1 = c100 - c000
-    k2 = c010 - c000
-    k3 = c001 - c000
-    k4 = c110 - c000 - k1 - k2
-    k5 = c101 - c000 - k1 - k3
-    k6 = c011 - c000 - k2 - k3
-    k7 = c111 - c000 - k1 - k2 - k3 - k4 - k5 - k6
-    m = k3 * k7 - k5 * k6
-    A = k7 * m
-    B = 2.0 * k4 * m
-    C = k3 * k4 * k4 - k4 * (k2 * k5 + k1 * k6) + k7 * k1 * k2
-    lin = A == 0
-    disc = B * B - 4.0 * A * C
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-    neg = jnp.zeros(lin.shape, dtype=bool)
-    pos = jnp.zeros(lin.shape, dtype=bool)
-    for sgn in (1.0, -1.0):
-        zq = (-B + sgn * sq) / jnp.where(A == 0, 1.0, 2.0 * A)
-        zl = -C / jnp.where(B == 0, 1.0, B)
-        z = jnp.where(lin, zl, zq)
-        # and/or instead of a bool select: keeps the expression
-        # Mosaic-lowerable too (no where() on i1 vectors).
-        valid = (lin & (B != 0)) | (~lin & (disc >= 0))
-        den = k4 + k7 * z
-        y = -(k1 + k5 * z) / jnp.where(den == 0, 1.0, den)
-        x = -(k2 + k6 * z) / jnp.where(den == 0, 1.0, den)
-        fv = (
-            c000
-            + k1 * x + k2 * y + k3 * z
-            + k4 * x * y + k5 * x * z + k6 * y * z
-            + k7 * x * y * z
-        )
-        ok = (
-            valid & (den != 0)
-            & (x > 0) & (x < 1) & (y > 0) & (y < 1) & (z > 0) & (z < 1)
-        )
-        neg = neg | (ok & (fv < 0))
-        pos = pos | (ok & (fv > 0))
+    from . import mc33_build as mb
+
+    neg, pos = mb.interior_flags(jnp, c, float(jnp.finfo(c[0].dtype).eps))
     return fb | (neg.astype(jnp.int32) << 6) | (pos.astype(jnp.int32) << 7)
 
 

@@ -215,54 +215,164 @@ def trilinear_eval(k, x, y, z):
     )
 
 
-def interior_bits(v):
-    """The interior code, vectorized over (..., 8) corner values.
+# Guard width for every floating-point decision in the interior test, in
+# ulps of the decided quantity's term-magnitude scale (see interior_flags).
+GUARD_ULPS = 64.0
 
-    Bit 0: the trilinear interpolant has a critical point strictly inside
-    the open cell with a negative value (the inside region connects
-    through the cell body there -- an inside tunnel).  Bit 1: likewise
-    with a positive value (outside tunnel).  Critical points solve
-    grad f = 0: from df/dx and df/dy, y = -(k1 + k5 z)/(k4 + k7 z) and
-    x = -(k2 + k6 z)/(k4 + k7 z); substituting into df/dz gives
-    A z^2 + B z + C = 0 with A = k7 (k3 k7 - k5 k6),
-    B = 2 k4 (k3 k7 - k5 k6), C = k3 k4^2 - k4 (k2 k5 + k1 k6) + k7 k1 k2.
 
-    This implements the same decision Lewiner's interior test makes
-    (tunnel iff the trilinear connects through the cell), computed at the
-    field's own critical points; validated against a dense-sampling
-    topology oracle at build time and in tests/test_topology.py.
+def interior_flags(xp, c, eps):
+    """(neg, pos) interior-tunnel flags -- THE interior test, shared
+    verbatim by the float64 numpy oracle (interior_bits / ext_code) and
+    the device path (mc33.extra_bits).
+
+    ``xp`` is ``numpy`` or ``jax.numpy``; ``c`` the 8 per-cell corner
+    value arrays in CORNER_OFFSETS order (broadcastable); ``eps`` the
+    machine epsilon of the compute dtype.  Returns two boolean arrays:
+    the trilinear interpolant has a critical point strictly inside the
+    open cell with a negative (inside tunnel) / positive (outside
+    tunnel) value.
+
+    Critical points solve grad f = 0: y = -(k1 + k5 z)/(k4 + k7 z),
+    x = -(k2 + k6 z)/(k4 + k7 z), and A z^2 + B z + C = 0 with
+    A = k7 (k3 k7 - k5 k6), B = 2 k4 (k3 k7 - k5 k6),
+    C = k3 k4^2 - k4 (k2 k5 + k1 k6) + k7 k1 k2.
+
+    Numerical robustness (why this is one shared, guarded algorithm and
+    not a naive solve): grid-aligned CSG models routinely produce
+    DEGENERATE cells -- e.g. a constant face makes the quadratic exactly
+    A (z-1)^2, a double root ON the cell boundary.  A naive solve turns
+    rounding fuzz (which differs between numpy and XLA: FMA contraction,
+    evaluation order) into spurious in-cell roots with garbage x/y from
+    the near-zero denominator, flipping tunnel bits between oracle and
+    device.  Here every decision carries a forward error bound:
+
+      * the stable quadratic formula (q = -(B + sign(B) sq)/2; roots
+        q/A and C/q) keeps both roots well-conditioned as A -> 0, so no
+        separate linear branch can disagree across backends;
+      * a discriminant within its own error bound collapses to the
+        double root (sq = 0), identically on both sides;
+      * each root is accepted only if its denominator exceeds the
+        denominator's error bound, and only if the critical point
+        clears the open cell's boundary by the propagated coordinate
+        error (err_x/err_y/err_z);
+      * the critical value fv only sets a bit when it clears a deadband
+        of its evaluation rounding plus the first-order propagation of
+        the coordinate errors (zero at exactly resolved critical
+        points) -- so an exact tie (fv == 0 in exact arithmetic, the
+        surface passing exactly through the critical point) classifies
+        as "no tunnel" on both sides, matching Lewiner's strict
+        inequality on the exact value.
+
+    Guarded decisions agree across backends whenever the two backends'
+    values differ by less than the guard width while the exact value is
+    either well-separated from the threshold or exactly on it (the
+    degenerate families above land many guard-widths inside).  A real
+    model whose exact quantities fall ON a guard boundary (~64 ulps from
+    a threshold, not 0) could still split -- a measure-zero band far
+    rarer than the exact degeneracies this closes; see
+    docs/TOPOLOGY.md.  Pinned by tests/test_lewiner.py (oracle-vs-device
+    on random grids AND on the degenerate-cell suite).
     """
-    k = trilinear_coeffs(v)
-    k0, k1, k2, k3, k4, k5, k6, k7 = [k[..., i] for i in range(8)]
-    m = k3 * k7 - k5 * k6
-    A = k7 * m
-    B = 2.0 * k4 * m
-    C = k3 * k4 * k4 - k4 * (k2 * k5 + k1 * k6) + k7 * k1 * k2
+    c000, c100, c110, c010, c001, c101, c111, c011 = c
+    k1 = c100 - c000
+    k2 = c010 - c000
+    k3 = c001 - c000
+    k4 = c110 - c000 - k1 - k2
+    k5 = c101 - c000 - k1 - k3
+    k6 = c011 - c000 - k2 - k3
+    k7 = c111 - c000 - k1 - k2 - k3 - k4 - k5 - k6
+    g = GUARD_ULPS * eps
 
-    neg = np.zeros(np.shape(A), dtype=bool)
-    pos = np.zeros(np.shape(A), dtype=bool)
-    lin = np.abs(A) < 1e-300  # degenerate: linear (or no) equation
-    with np.errstate(divide="ignore", invalid="ignore"):
-        disc = B * B - 4.0 * A * C
-        sq = np.sqrt(np.maximum(disc, 0.0))
-        for sgn in (1.0, -1.0):
-            z = np.where(
-                lin,
-                np.where(np.abs(B) > 1e-300, -C / np.where(B == 0, 1, B),
-                         np.nan),
-                (-B + sgn * sq) / np.where(A == 0, 1, 2.0 * A),
-            )
-            den = k4 + k7 * z
-            y = -(k1 + k5 * z) / np.where(den == 0, np.nan, den)
-            x = -(k2 + k6 * z) / np.where(den == 0, np.nan, den)
-            fv = trilinear_eval(k, x, y, z)
-            ok = (
-                np.isfinite(x) & np.isfinite(y) & np.isfinite(z)
-                & (lin | (disc >= 0))
-                & (x > 0) & (x < 1) & (y > 0) & (y < 1) & (z > 0) & (z < 1)
-            )
-            neg |= ok & (fv < 0)
-            pos |= ok & (fv > 0)
+    m = k3 * k7 - k5 * k6
+    sm = xp.abs(k3 * k7) + xp.abs(k5 * k6)
+    A = k7 * m
+    B = 2.0 * (k4 * m)
+    C = k3 * (k4 * k4) - k4 * (k2 * k5 + k1 * k6) + k7 * (k1 * k2)
+    errA = g * (xp.abs(k7) * sm)
+    errB = 2.0 * g * (xp.abs(k4) * sm)
+    errC = g * (
+        xp.abs(k3 * (k4 * k4))
+        + xp.abs(k4 * (k2 * k5))
+        + xp.abs(k4 * (k1 * k6))
+        + xp.abs(k7 * (k1 * k2))
+    )
+
+    disc = B * B - 4.0 * (A * C)
+    errdisc = (
+        g * (B * B + 4.0 * xp.abs(A * C))
+        + 2.0 * xp.abs(B) * errB
+        + 4.0 * (xp.abs(A) * errC + xp.abs(C) * errA)
+    )
+    degen = xp.abs(disc) <= errdisc
+    has_roots = degen | (disc > 0)
+    sq = xp.where(degen, 0.0, xp.sqrt(xp.maximum(disc, 0.0)))
+    dsq = 2.0 * sq + xp.sqrt(errdisc)
+    errsq = errdisc / xp.where(dsq == 0, 1.0, dsq)
+    # sign(B == +-0) -> +sq on both backends (plain where, no copysign)
+    q = -0.5 * (B + xp.where(B < 0, -sq, sq))
+    errq = 0.5 * (errB + errsq)
+
+    neg = xp.zeros_like(A, dtype=bool)
+    pos = xp.zeros_like(A, dtype=bool)
+    for num, den, errnum, errden in ((q, A, errq, errA), (C, q, errC, errq)):
+        root_ok = has_roots & (xp.abs(den) > errden)
+        dsafe = xp.where(den == 0, 1.0, den)
+        z = num / dsafe
+        errz = (errnum + xp.abs(z) * errden) / xp.abs(dsafe)
+
+        dd = k4 + k7 * z
+        errdd = g * (xp.abs(k4) + xp.abs(k7 * z)) + xp.abs(k7) * errz
+        dd_ok = xp.abs(dd) > errdd
+        ddsafe = xp.where(dd == 0, 1.0, dd)
+        y = -(k1 + k5 * z) / ddsafe
+        x = -(k2 + k6 * z) / ddsafe
+        erry = (
+            g * (xp.abs(k1) + xp.abs(k5 * z))
+            + xp.abs(k5) * errz
+            + xp.abs(y) * errdd
+        ) / xp.abs(ddsafe)
+        errx = (
+            g * (xp.abs(k2) + xp.abs(k6 * z))
+            + xp.abs(k6) * errz
+            + xp.abs(x) * errdd
+        ) / xp.abs(ddsafe)
+
+        fv = (
+            c000
+            + k1 * x + k2 * y + k3 * z
+            + k4 * (x * y) + k5 * (x * z) + k6 * (y * z)
+            + k7 * ((x * y) * z)
+        )
+        fmag = (
+            xp.abs(c000)
+            + xp.abs(k1 * x) + xp.abs(k2 * y) + xp.abs(k3 * z)
+            + xp.abs(k4 * (x * y)) + xp.abs(k5 * (x * z))
+            + xp.abs(k6 * (y * z)) + xp.abs(k7 * ((x * y) * z))
+        )
+        gx = xp.abs(k1) + xp.abs(k4 * y) + xp.abs(k5 * z) + xp.abs(k7 * (y * z))
+        gy = xp.abs(k2) + xp.abs(k4 * x) + xp.abs(k6 * z) + xp.abs(k7 * (x * z))
+        gz = xp.abs(k3) + xp.abs(k5 * x) + xp.abs(k6 * y) + xp.abs(k7 * (x * y))
+        tolfv = g * fmag + gx * errx + gy * erry + gz * errz
+
+        ok = (
+            root_ok & dd_ok
+            & (x > errx) & (x < 1.0 - errx)
+            & (y > erry) & (y < 1.0 - erry)
+            & (z > errz) & (z < 1.0 - errz)
+        )
+        neg = neg | (ok & (fv < -tolfv))
+        pos = pos | (ok & (fv > tolfv))
+    return neg, pos
+
+
+def interior_bits(v):
+    """The interior code, vectorized over (..., 8) corner values:
+    neg + 2 * pos of the shared guarded interior test (interior_flags --
+    the same algorithm the device path runs), in float64."""
+    v = np.asarray(v, dtype=np.float64)
+    neg, pos = interior_flags(
+        np, tuple(v[..., i] for i in range(8)), np.finfo(np.float64).eps
+    )
     return neg.astype(np.int64) + 2 * pos.astype(np.int64)
 
 

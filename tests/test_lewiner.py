@@ -117,6 +117,132 @@ def test_classify_matches_float64_oracle():
     assert np.array_equal(ext_dev, ext_ref)
 
 
+# Degenerate cells harvested from the canonical example model at step
+# 0.04 (grid-aligned CSG: flat faces make the interior test's quadratic
+# an exact boundary double root) -- exactly the family where the naive
+# pre-guard solver let numpy-vs-XLA rounding (FMA contraction) flip
+# tunnel bits (38 cells diverged on this model before the shared guarded
+# interior_flags).  Corner order: CORNER_OFFSETS.
+_DEGENERATE_CELLS = [
+    [0.3580868897091918, 0.3258959235173755, 0.3113351974228378,
+     0.3499999999999992, 0.3499999999999992, 0.30999999999999517,
+     0.30999999999999517, 0.3499999999999992],
+    [-0.05000000000000071, -0.08309518948453065, -0.04332310828824326,
+     -0.04332310828824326, -0.05000000000000071, -0.0803447251418774,
+     -0.040370243444249, -0.040370243444249],
+    [0.3499999999999992, 0.3499999999999992, 0.3499999999999992,
+     0.35572858640658467, 0.30999999999999517, 0.30999999999999517,
+     0.30999999999999517, 0.32348026052524403],
+    [0.23336936884292925, 0.2300000000000022, 0.2300000000000022,
+     0.2300000000000022, 0.27000000000000046, 0.27000000000000046,
+     0.27000000000000046, 0.27000000000000046],
+    [0.23923190379189396, 0.23923190379189574, 0.23923190379189574,
+     0.19933407243254475, 0.2331667187174724, 0.23316671871747374,
+     0.23316671871747374, 0.19405882918443362],
+    [0.11337325277733967, 0.11767616061182906, 0.08719823399415105,
+     0.08277421469112767, 0.10999999999999943, 0.10999999999999943,
+     0.0699999999999994, 0.0699999999999994],
+    [0.20470353879533149, 0.18999999999999995, 0.16894109285506342,
+     0.20470353879533149, 0.22143223445631932, 0.18999999999999995,
+     0.183772233983162, 0.22143223445631932],
+    [-0.0035871324805683003, -0.043323108288245926, -0.00999999999999801,
+     -0.0035871324805683003, -0.009901951359280403, -0.04918120870983955,
+     -0.00999999999999801, -0.009901951359280403],
+    [0.2729493312775664, 0.30999999999999517, 0.3174217244299484,
+     0.28545711713771027, 0.27000000000000046, 0.30999999999999517,
+     0.30999999999999517, 0.27000000000000046],
+]
+
+# Engineered exact interior tie: f = 1 - x - y - z + 4 x y z has a
+# critical point exactly at the cell center with critical value exactly
+# 0 (the surface passes exactly through it) -- Lewiner's strict
+# inequality on the exact value means NO tunnel; the guarded test's fv
+# deadband makes both backends classify it that way regardless of the
+# sign of rounding residue.  Scaled variants make the arithmetic inexact
+# so the decision rides on the deadband, not on exact dyadic math.
+_TIE_CELL = [1.0, 0.0, -1.0, 0.0, 0.0, -1.0, 2.0, -1.0]
+
+
+def _vol_of(v8, dtype):
+    import jax.numpy as jnp
+
+    vol = np.zeros((2, 2, 2))
+    for ci, (ox, oy, oz) in enumerate(np.asarray(mb.CORNER_OFFSETS)):
+        vol[ox, oy, oz] = v8[ci]
+    return jnp.asarray(vol, dtype)
+
+
+@pytest.mark.parametrize("scale", [1.0, 0.1, 1 / 3, np.pi / 10])
+def test_tie_cell_no_tunnel_both_backends(scale):
+    """The engineered exact-tie cell classifies 'no tunnel' in f64 and
+    f32, jit and eager, device and oracle -- the deadband absorbs the
+    rounding residue whose sign is backend-dependent."""
+    import jax
+    import jax.numpy as jnp
+
+    v = [x * scale for x in _TIE_CELL]
+    assert int(mb.interior_bits(np.asarray(v)[None])[0]) == 0
+    for dt in (jnp.float64, jnp.float32):
+        vol = _vol_of(v, dt)
+        jitted = int(np.asarray(mc33.classify_ext(vol))[0, 0, 0])
+        with jax.disable_jit():
+            eager = int(np.asarray(mc33._classify_ext_jit(vol, 0.0, None))[0, 0, 0])
+        assert jitted == eager, dt
+    ext64 = int(np.asarray(mc33.classify_ext(_vol_of(v, jnp.float64)))[0, 0, 0])
+    assert ext64 == int(mb.ext_code(np.asarray(v, np.float64)[None])[0])
+
+
+def test_degenerate_cells_match_oracle():
+    """Model-harvested degenerate cells: f64 device (jit AND eager) ==
+    float64 oracle; f32 jit == f32 eager (same-dtype determinism)."""
+    import jax
+    import jax.numpy as jnp
+
+    for v in _DEGENERATE_CELLS + [_TIE_CELL]:
+        ref = int(mb.ext_code(np.asarray(v, np.float64)[None])[0])
+        vol64 = _vol_of(v, jnp.float64)
+        assert int(np.asarray(mc33.classify_ext(vol64))[0, 0, 0]) == ref, v
+        with jax.disable_jit():
+            assert (
+                int(np.asarray(mc33._classify_ext_jit(vol64, 0.0, None))[0, 0, 0])
+                == ref
+            ), v
+        vol32 = _vol_of(v, jnp.float32)
+        jitted = int(np.asarray(mc33.classify_ext(vol32))[0, 0, 0])
+        with jax.disable_jit():
+            eager = int(np.asarray(mc33._classify_ext_jit(vol32, 0.0, None))[0, 0, 0])
+        assert jitted == eager, v
+
+
+def test_example_volume_classify_matches_oracle():
+    """The FULL example-model volume (the grid-aligned CSG workload where
+    the pre-guard solver diverged on 38 degenerate cells): jitted device
+    classify == float64 oracle, cell for cell."""
+    import jax.numpy as jnp
+
+    from sdf_tpu.core import engine
+    from sdf_tpu.core.node import cast
+
+    f = st.sphere(1) & st.box(1.5)
+    c = st.cylinder(0.5)
+    f -= c.orient(st.X) | c.orient(st.Y) | c.orient(st.Z)
+    step = 0.04
+    X = np.arange(-1.1, 1.1, step)
+    vol = engine._eval_volume(cast(f, jnp.float64), X, X, X, jnp.float64)
+    ext_dev = np.asarray(mc33.classify_ext(vol))
+    voln = np.asarray(vol)
+    nx, ny, nz = voln.shape
+    corners = np.stack(
+        [
+            voln[ox : nx - 1 + ox, oy : ny - 1 + oy, oz : nz - 1 + oz]
+            for ox, oy, oz in np.asarray(mb.CORNER_OFFSETS)
+        ],
+        axis=-1,
+    )
+    ext_ref = mb.ext_code(corners.reshape(-1, 8)).reshape(ext_dev.shape)
+    assert np.array_equal(ext_dev, ext_ref)
+
+
 def _partition_from_tris(loops, tris):
     """Loop partition implied by a triangulation: loops whose edges are
     connected through shared triangle vertices."""

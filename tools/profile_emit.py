@@ -201,7 +201,7 @@ def main():
 
     case_t = wt & ((1 << cbits) - 1)
     t, ev = _timed(edge_ids, case_t, slot)
-    print(f"    _edge_ids_of (one-hot matmul):           {t*1e3:7.2f} ms")
+    print(f"    _edge_ids_of (packed 3x4-bit gather):       {t*1e3:7.2f} ms")
 
     lin = wt >> cbits
     ny1, nz1 = ny - 1, nz - 1
