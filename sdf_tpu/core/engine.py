@@ -401,6 +401,13 @@ def _debug_triangles(X, Y, Z, tiles, batch_size, inset=0.25):
     return corners[:, _DEBUG_BOX_IDX, :].reshape(-1, 3).astype(np.float64)
 
 
+# User-facing mc_variant spellings -> internal table-bundle names.  The
+# fixed separated-ambiguity rule was the out-of-the-box default through
+# round 3 under the name "default"; it is now the explicit fast opt-in
+# ("fast"), with the reference-parity "lewiner" rule the default.
+_MC_VARIANT_ALIASES = {"fast": "default"}
+
+
 def generate(
     sdf,
     step=None,
@@ -416,7 +423,7 @@ def generate(
     use_pallas=None,
     debug=False,
     output="points",
-    mc_variant="default",
+    mc_variant="lewiner",
 ):
     """Sample the SDF on a dense grid and mesh it (ref sdf/core.py:84-150).
 
@@ -453,15 +460,21 @@ def generate(
     batch (the reference's comment-toggled ``_debug_triangles`` debugging
     affordance, ref sdf/core.py:49,57,166-200).
     ``mc_variant=`` selects the marching-cubes topology rule:
-    "default" = the repo's fixed separated-ambiguity tables;
-    "lewiner" = trilinear-faithful ambiguity resolution (face-saddle +
-    interior tests), matching the decision procedure of skimage's Lewiner
-    mesher, the reference's default (ref sdf/core.py:16-18).  See
-    docs/TOPOLOGY.md.
+    "lewiner" (the default) = trilinear-faithful ambiguity resolution
+    (face-saddle + interior tests), matching the decision procedure of
+    skimage's Lewiner mesher, the reference's mesher (ref
+    sdf/core.py:16-18) -- so unmodified reference scripts reproduce the
+    reference's topology out of the box; "fast" = the repo's fixed
+    separated-ambiguity tables, a cheaper explicit opt-in that skips the
+    per-cell saddle/interior classification (~6 ms at a 2^22 grid,
+    PERF.md) and deviates from the reference on ambiguous faces with a
+    negative saddle.  "default" is accepted as a legacy alias of
+    "fast".  See docs/TOPOLOGY.md.
     """
     start = time.time()
     dtype = dtype or jnp.float32
     stats = {}
+    mc_variant = _MC_VARIANT_ALIASES.get(mc_variant, mc_variant)
     mc.get_tables(mc_variant)  # validate the name / load tables eagerly
     if output not in ("points", "mesh"):
         raise ValueError("output must be 'points' or 'mesh', got %r" % output)
@@ -634,6 +647,10 @@ def generate(
                 return_indexed=True, memo_key=mkey, variant=mc_variant,
             )
 
+    # mc33_conflicted_cells stat: counted on the dense (default) path
+    # only; the tiles/sharded paths classify per-tile inside their own
+    # jits and leave it None (key absent from LAST_STATS).
+    confl = None
     if mesh is not None and mesh.devices.size > 1:
         if sparse == "tiles":
             # Active-tile-list sharding: load-balanced for sparse models.
@@ -752,6 +769,14 @@ def generate(
             ncells_dev, total, n_edges, per_tile, active, emask = (
                 mc.count_indexed(vol, case, keep, s, tshape, mc_variant)
             )
+        confl_dev = None
+        if mc_variant == "lewiner":
+            # Observability for the majority-voted table entries: count
+            # kept cells whose ext code has conflict_rate > 0 (one table
+            # gather, fetched on the counts round trip below).
+            from . import mc33
+
+            confl_dev = mc33.count_conflicted(case, keep)
         # Counts are DETERMINISTIC in (expression, grid, dtype, cull
         # mode): a repeat generate() of an unchanged model reuses the
         # memoized counts, dispatches emit immediately, and lets the
@@ -796,22 +821,26 @@ def generate(
             # ride the mesh transfer below in the same device_get --
             # copy_to_host_async is NOT used (it wedges the axon
             # runtime's transfer path for minutes).
-            n_cells, n, ne = cached
+            n_cells, n, ne, confl = cached
         else:
+            extra = () if confl_dev is None else (confl_dev,)
             if speculate:
-                skip, n_cells, n, ne, per_tile = jax.device_get(
-                    (skip3d, ncells_dev, total, n_edges, per_tile)
+                got = jax.device_get(
+                    (skip3d, ncells_dev, total, n_edges, per_tile) + extra
                 )
+                skip, n_cells, n, ne, per_tile = got[:5]
             else:
-                n_cells, n, ne, per_tile = jax.device_get(
-                    (ncells_dev, total, n_edges, per_tile)
+                got = jax.device_get(
+                    (ncells_dev, total, n_edges, per_tile) + extra
                 )
+                n_cells, n, ne, per_tile = got[:4]
+            confl = int(got[-1]) if extra else None
             n_cells, n, ne = int(n_cells), int(n), int(ne)
             routed = speculate and skip.mean() >= AUTO_TILES_THRESHOLD
             if not routed and ckey is not None:
                 if len(_COUNTS_MEMO) > 256:
                     _COUNTS_MEMO.clear()
-                _COUNTS_MEMO[ckey] = (n_cells, n, ne)
+                _COUNTS_MEMO[ckey] = (n_cells, n, ne, confl)
         bar.update(num_batches * 0.8)
 
         if routed:
@@ -913,10 +942,17 @@ def generate(
         triangles=triangles,
         total=round(seconds, 4),
     )
+    if confl is not None:
+        stats["mc33_conflicted_cells"] = confl
     LAST_STATS.clear()
     LAST_STATS.update(stats)
     if verbose:
         print("%d skipped, %d empty, %d nonempty" % (skipped, empty, nonempty))
+        if confl:
+            print(
+                "%d cells hit majority-voted MC33 table entries "
+                "(docs/TOPOLOGY.md section 4.2)" % confl
+            )
         print("%d triangles in %g seconds" % (triangles, seconds))
 
     if output == "mesh":

@@ -119,6 +119,24 @@ def ext_from_bits(case, extra):
     return ext.reshape(case.shape)
 
 
+@functools.lru_cache()
+def _conflicted_mask():
+    """Bool per extended code: the builder's dense-sampling oracle saw a
+    class mixture for this entry (conflict_rate > 0), so its
+    triangulation is a majority vote (docs/TOPOLOGY.md section 4.2)."""
+    return np.asarray(load_tables()["conflict_rate"] > 0)
+
+
+@jax.jit
+def count_conflicted(ext, keep):
+    """Number of kept cells whose extended code is a majority-voted
+    (conflicted) table entry -- the per-run observability hook for the
+    21/1534 codes whose topology rests on the builder's one-time vote.
+    Surfaces as LAST_STATS['mc33_conflicted_cells'] (engine.generate)."""
+    tab = jnp.asarray(_conflicted_mask())
+    return jnp.sum(tab[ext] & keep)
+
+
 def _corners(volume, level=0.0):
     """The 8 per-cell corner value arrays of ``volume`` (level-shifted)."""
     nx, ny, nz = volume.shape[-3:]

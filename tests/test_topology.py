@@ -227,9 +227,12 @@ def _example_fixture():
 
     bounds = ((-1.1,) * 3, (1.1,) * 3)
     step = 0.04
+    # mc_variant="fast" pins the fixed separated-ambiguity rule (the
+    # pre-round-4 default); the out-of-the-box default is now "lewiner",
+    # pinned by tests/test_lewiner.py's golden.
     pts = f.generate(
         step=step, bounds=bounds, verbose=False, dtype=jnp.float64,
-        sparse=False,
+        sparse=False, mc_variant="fast",
     )
     # full per-cell case codes on the same grid
     X = np.arange(-1.1, 1.1, step)
