@@ -38,8 +38,8 @@ def _warn_overflow(total, capacity):
     )
 
 
-@partial(jax.jit, static_argnames=("capacity", "shape"))
-def _extract(node, grid01, origin, step, capacity, shape):
+@partial(jax.jit, static_argnames=("capacity", "shape", "variant"))
+def _extract(node, grid01, origin, step, capacity, shape, variant):
     nx, ny, nz = shape
     X = origin[0] + step[0] * grid01[0][:nx]
     Y = origin[1] + step[1] * grid01[1][:ny]
@@ -50,9 +50,11 @@ def _extract(node, grid01, origin, step, capacity, shape):
     # True triangle total (independent of the static buffers): overflow
     # must be observable, not silently clamped -- a fitting loss seeing a
     # truncated surface is a silent wrong-gradient bug.
-    case = mc._cell_cases(vol)
-    total = jnp.sum(mc.ntri_of(case))
-    verts9, n = mc.emit(vol, keep, capacity, case=case)  # (9, capacity) SoA
+    case = mc.get_tables(variant).classify(vol)
+    total = jnp.sum(mc.ntri_of(case, variant))
+    verts9, n = mc.emit(
+        vol, keep, capacity, case=case, variant=variant
+    )  # (9, capacity) SoA
     kept = jnp.minimum(jnp.minimum(n, total), capacity)
     jax.lax.cond(
         total > capacity,
@@ -68,13 +70,18 @@ def _extract(node, grid01, origin, step, capacity, shape):
     return world, total, valid
 
 
-def extract(node, bounds, resolution=64, capacity=None, dtype=jnp.float32):
+def extract(node, bounds, resolution=64, capacity=None, dtype=jnp.float32,
+            variant="lewiner"):
     """Differentiable triangle extraction on a fixed grid.
 
     node: dtype-cast SDF expression.  bounds: ((x0,y0,z0),(x1,y1,z1)).
     resolution: samples per axis (int or 3-tuple).  capacity: static
     triangle buffer size (default: 4 * resolution^2, plenty for smooth
-    surfaces at the given resolution).
+    surfaces at the given resolution).  variant: marching-cubes topology
+    rule, same names/default as ``generate(mc_variant=)`` -- "lewiner"
+    (reference-parity, the default: gradients flow through tunnel cells'
+    edge-lerped vertices too, with the per-cell topology held constant
+    under differentiation exactly like the base tables) or "fast".
 
     Returns (verts, n, valid): verts (capacity, 3, 3) world-space triangle
     vertices -- differentiable w.r.t. ``node``'s parameters -- with rows
@@ -83,6 +90,7 @@ def extract(node, bounds, resolution=64, capacity=None, dtype=jnp.float32):
     observable as ``n > capacity`` (only ``capacity`` triangles are kept,
     ``valid`` flags them, and a warning fires via ``jax.debug.callback``).
     """
+    variant = mc.get_tables(variant).name  # normalize "fast" et al.
     (rx, ry, rz), capacity, origin, step = _resolve(
         bounds, resolution, capacity, dtype
     )
@@ -93,7 +101,9 @@ def extract(node, bounds, resolution=64, capacity=None, dtype=jnp.float32):
         jnp.arange(ry, dtype=dtype),
         jnp.arange(rz, dtype=dtype),
     )
-    return _extract(node, grid01, origin, step, capacity, (rx, ry, rz))
+    return _extract(
+        node, grid01, origin, step, capacity, (rx, ry, rz), variant
+    )
 
 
 def _resolve(bounds, resolution, capacity, dtype):
@@ -113,7 +123,8 @@ def _resolve(bounds, resolution, capacity, dtype):
 
 
 def extract_sharded(node, bounds, resolution=64, capacity=None,
-                    dtype=jnp.float32, mesh=None, axis_name="grid"):
+                    dtype=jnp.float32, mesh=None, axis_name="grid",
+                    variant="lewiner"):
     """Differentiable extraction sharded over a device mesh.
 
     The sample grid's z cells are split into per-device slabs (with the
@@ -131,6 +142,7 @@ def extract_sharded(node, bounds, resolution=64, capacity=None,
     """
     from jax.sharding import PartitionSpec as P
 
+    variant = mc.get_tables(variant).name
     if mesh is None:
         from ..parallel import grid as pgrid
 
@@ -169,11 +181,11 @@ def extract_sharded(node, bounds, resolution=64, capacity=None,
         keep = jnp.broadcast_to(
             (zc < rz - 1)[None, None, :], (rx - 1, ry - 1, c)
         )
-        case = mc._cell_cases(vol)
+        case = mc.get_tables(variant).classify(vol)
         total = jnp.sum(
-            mc.ntri_of(case) * keep.astype(jnp.int32)
+            mc.ntri_of(case, variant) * keep.astype(jnp.int32)
         )
-        verts9, nn = mc.emit(vol, keep, cap_d, case=case)
+        verts9, nn = mc.emit(vol, keep, cap_d, case=case, variant=variant)
         verts9 = verts9.at[jnp.array([2, 5, 8]), :].add(
             (dev * c).astype(verts9.dtype)
         )
@@ -200,9 +212,10 @@ def extract_sharded(node, bounds, resolution=64, capacity=None,
     return world, gtotal, valid
 
 
-def mean_vertex(node, bounds, resolution=64, capacity=None, dtype=jnp.float32):
+def mean_vertex(node, bounds, resolution=64, capacity=None, dtype=jnp.float32,
+                variant="lewiner"):
     """Mass-center of the extracted surface (a simple differentiable probe)."""
-    verts, n, valid = extract(node, bounds, resolution, capacity, dtype)
+    verts, n, valid = extract(node, bounds, resolution, capacity, dtype, variant)
     w = valid.astype(verts.dtype)[:, None, None]
     kept = jnp.sum(valid)  # n can exceed capacity under overflow
     return jnp.sum(verts * w, axis=(0, 1)) / jnp.maximum(3.0 * kept, 1.0)

@@ -78,6 +78,66 @@ def test_gradient_and_normal_api():
     np.testing.assert_allclose(np.linalg.norm(n, axis=1), 1.0, atol=1e-12)
 
 
+def test_grad_through_lewiner_tunnel_cell():
+    """Gradients flow through a lewiner-variant TUNNEL cell: the 6-tube
+    triangulation's edge-lerped vertices differentiate w.r.t. a level
+    shift of the volume, matching finite differences (the tunnel
+    topology is locally constant, so FD is well-defined)."""
+    from sdf_tpu.core import mc
+    from sdf_tpu.core import mc33_build as mb
+
+    rng = np.random.default_rng(5)
+    v = None
+    for _ in range(200):
+        cand = mb.sample_realizations(65, 500, rng)
+        hit = np.flatnonzero(mb.interior_bits(cand) == 1)
+        if len(hit):
+            v = cand[hit[0]]
+            break
+    assert v is not None, "no case-65 tunnel realization found"
+    vol0 = np.zeros((2, 2, 2))
+    for ci, (ox, oy, oz) in enumerate(np.asarray(mb.CORNER_OFFSETS)):
+        vol0[ox, oy, oz] = v[ci]
+    vol0 = jnp.asarray(vol0, jnp.float64)
+    mask = jnp.ones((1, 1, 1), dtype=bool)
+
+    verts9, n = mc.emit(vol0, mask, 8, variant="lewiner")
+    assert int(n) == 6  # the tube, not the default variant's 2 caps
+
+    def loss(theta):
+        verts9, _ = mc.emit(vol0 - theta, mask, 8, variant="lewiner")
+        w = (jnp.arange(8) < 6).astype(verts9.dtype)
+        return jnp.sum(verts9 * w[None, :])
+
+    g = jax.grad(loss)(jnp.float64(0.0))
+    eps = 1e-6
+    fd = (loss(jnp.float64(eps)) - loss(jnp.float64(-eps))) / (2 * eps)
+    assert np.isfinite(float(g)) and abs(float(g)) > 1e-9
+    np.testing.assert_allclose(float(g), float(fd), rtol=1e-5)
+
+
+def test_extract_variant_threads_through():
+    """extract(variant=) accepts the generate() names ("lewiner" default,
+    "fast", legacy "default") and gradients flow under the lewiner
+    variant (sphere: no ambiguous cells, so the variants' meshes agree
+    -- this pins the plumbing, the tunnel test above pins the math)."""
+    node = cast(sphere(1.0), jnp.float64)
+    v_lew, n_lew, ok_lew = diffmesh.extract(
+        node, BOUNDS, 24, dtype=jnp.float64, variant="lewiner"
+    )
+    v_fast, n_fast, ok_fast = diffmesh.extract(
+        node, BOUNDS, 24, dtype=jnp.float64, variant="fast"
+    )
+    assert int(n_lew) == int(n_fast)
+    np.testing.assert_array_equal(
+        np.asarray(v_lew)[np.asarray(ok_lew)],
+        np.asarray(v_fast)[np.asarray(ok_fast)],
+    )
+
+    g = jax.grad(_mean_radius)(jnp.float64(1.0))  # default is now lewiner
+    np.testing.assert_allclose(float(g), 1.0, atol=5e-2)
+
+
 def test_extract_overflow_is_observable():
     # With a deliberately tiny capacity, n reports the TRUE triangle
     # total (> capacity) instead of silently clamping, and exactly
