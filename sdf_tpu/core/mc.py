@@ -125,7 +125,12 @@ _TABLES = {}
 
 
 def get_tables(variant="default"):
-    """The (cached) table bundle for an MC variant name."""
+    """The (cached) table bundle for an MC variant name.  "fast" is the
+    user-facing spelling of the fixed separated-ambiguity rule whose
+    internal table name remains "default" (it was generate()'s default
+    through round 3); "lewiner" is generate()'s out-of-the-box default."""
+    if variant == "fast":
+        variant = "default"
     if variant not in _TABLES:
         if variant == "default":
             _TABLES[variant] = Tables("default", TRI_TABLE, NTRI_TABLE)
@@ -136,7 +141,8 @@ def get_tables(variant="default"):
             _TABLES[variant] = Tables("lewiner", d["tri_table"], d["ntri"])
         else:
             raise ValueError(
-                f"unknown mc_variant {variant!r}: use 'default' or 'lewiner'"
+                f"unknown mc_variant {variant!r}: use 'lewiner' (the "
+                "default) or 'fast' ('default' is a legacy alias of 'fast')"
             )
     return _TABLES[variant]
 
@@ -521,6 +527,25 @@ def _resolve_faces(inv, cell_state, capacity, cell_capacity, ny, nz, Sx, Sy,
         rem = lin % (ny1 * nz1)
         cy = rem // nz1
         cz = rem % nz1
+    elif nx1 * ny1 * nz1 < (1 << 31):
+        # The case bits don't fit next to the cell index in one int32
+        # (the 12-bit lewiner codes overflow at > 2^19 cells, i.e. every
+        # grid past ~2^21 samples): pack ONLY the linear cell index as
+        # the fill word and recover the case by one per-triangle
+        # row-of-128 gather from the compacted cells.  Measured on v5e
+        # at 2^22: this branch 16.2 ms vs the 4-slot staging gather's
+        # 32.1 ms for the lewiner default, within 1 ms of the fast
+        # variant's fully-packed 15.2 ms (the staging branch now only
+        # covers > 2^31-cell grids).
+        lin = (ci * ny1 + cj) * nz1 + ck
+        ctri, slot, n_tris, lin_t = compact.ragged_expand(
+            cell_ntri, capacity, fill=lin
+        )
+        case_t = compact.gather1d(cell_case, ctri)
+        cx = lin_t // (ny1 * nz1)
+        rem = lin_t % (ny1 * nz1)
+        cy = rem // nz1
+        cz = rem % nz1
     else:
         # --- expand live slots, then resolve only real triangles ------
         # (tri-major: gathers per emitted triangle, not per (cell, slot))
@@ -536,8 +561,9 @@ def _resolve_faces(inv, cell_state, capacity, cell_capacity, ny, nz, Sx, Sy,
         cz = cd[2 * capacity : 3 * capacity]
         case_t = cd[3 * capacity :]
 
-    # Cube-edge ids per vertex from the one-hot matmul, the edge -> global
-    # edge id map as VPU selects, then ONE batched rank lookup.
+    # Cube-edge ids per vertex from the packed 3x4-bit row gather, the
+    # edge -> global edge id map as VPU selects, then ONE batched rank
+    # lookup.
     ev = _edge_ids_of(case_t, slot, variant)
     gids = [_edge_gid(ev[v], cx, cy, cz, ny, nz, Sx, Sy) for v in range(3)]
     faces = compact.gather1d(inv, jnp.concatenate(gids)).reshape(3, capacity)

@@ -432,6 +432,91 @@ def test_example_model_golden_lewiner():
         assert str(z["soup_sha256"]) == str(got["soup_sha256"])
 
 
+def test_resolve_faces_middle_branch_lewiner():
+    """Grids past 2^19 cells overflow the (cell index | 12-bit ext code)
+    int32 pack, taking _resolve_faces' lin-fill + case-gather branch:
+    its triangle soup must equal the tiles path's (which packs
+    tile-locally and never overflows at tile=32)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sdf_tpu.parallel import grid as pgrid
+
+    f = st.sphere(1) | st.sphere(0.55).translate((1.05, 0, 0))
+    mesh1 = pgrid.make_mesh(jax.devices()[:1])
+    kw = dict(
+        samples=2**20, verbose=False, dtype=jnp.float64, mesh=mesh1,
+        bounds=((-1.3, -1.2, -1.2), (1.9, 1.2, 1.2)),
+        mc_variant="lewiner",
+    )
+    dense = f.generate(sparse=False, **kw)
+    # 2^20 samples -> ~100^3 cells > 2^19: the dense path used the
+    # middle branch (the packed branch needs < 2^19 cells at cbits=12)
+    n_cells = np.prod(
+        [len(np.arange(a, b, (3.2 * 2.4 * 2.4 / 2**20) ** (1 / 3))) - 1
+         for a, b in ((-1.3, 1.9), (-1.2, 1.2), (-1.2, 1.2))]
+    )
+    assert n_cells >= (1 << 19)
+    tiles = f.generate(sparse="tiles", **kw)
+
+    # round(9) canonicalization (same as the goldens): at this grid size
+    # the dense and tiles EVAL programs fuse differently and vertex
+    # values drift by last-ulp f64 -- the triangle structure (what the
+    # middle branch computes) must agree exactly
+    def soup(p):
+        t = np.asarray(p, np.float64).round(9).reshape(-1, 9)
+        return t[np.lexsort(t.T[::-1])]
+
+    assert np.array_equal(soup(dense), soup(tiles))
+
+
+def test_conflicted_cells_stat():
+    """The dense lewiner path surfaces LAST_STATS['mc33_conflicted_cells']
+    (count of kept cells on majority-voted table entries), matching an
+    oracle recount; fast-variant runs leave the key absent."""
+    import jax.numpy as jnp
+
+    import jax
+
+    from sdf_tpu.core import engine
+    from sdf_tpu.parallel import grid as pgrid
+
+    f = st.sphere(1) & st.box(1.5)
+    kw = dict(
+        samples=2**14, verbose=False, dtype=jnp.float64, sparse=False,
+        bounds=((-1.1,) * 3, (1.1,) * 3),
+        # a 1-device mesh pins the DENSE path (the stat's scope) under
+        # the 8-virtual-device CI topology
+        mesh=pgrid.make_mesh(jax.devices()[:1]),
+    )
+    f.generate(mc_variant="lewiner", **kw)
+    assert "mc33_conflicted_cells" in engine.LAST_STATS
+    got = engine.LAST_STATS["mc33_conflicted_cells"]
+
+    # oracle recount on the same grid
+    from sdf_tpu.core.node import cast
+
+    step = (2.2 * 2.2 * 2.2 / 2**14) ** (1 / 3)  # generate()'s formula
+    X = np.arange(-1.1, 1.1, step)
+    vol = np.asarray(
+        engine._eval_volume(cast(f, jnp.float64), X, X, X, jnp.float64)
+    )
+    nx = len(X)
+    corners = np.stack(
+        [
+            vol[ox : nx - 1 + ox, oy : nx - 1 + oy, oz : nx - 1 + oz]
+            for ox, oy, oz in np.asarray(mb.CORNER_OFFSETS)
+        ],
+        axis=-1,
+    )
+    ext = mb.ext_code(corners.reshape(-1, 8))
+    confl = (_tables()["conflict_rate"] > 0)[ext].sum()
+    assert got == int(confl)
+
+    f.generate(mc_variant="fast", **kw)
+    assert "mc33_conflicted_cells" not in engine.LAST_STATS
+
+
 def test_classify_ext_jit_matches_split_path():
     """classify_ext == ext_from_bits(base, extra_bits(corners)) with and
     without a precomputed base_case -- pins the refactor seam between
