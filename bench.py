@@ -9,19 +9,48 @@ each phase fenced with a tiny device-to-host read (block_until_ready does
 not reliably fence through a tunneled TPU runtime, and per-call timings
 otherwise measure dispatch):
 
-  eval_ms / count / gather_emit             -- device-side phases
+  eval_ms / classify / count / gather_emit  -- device-side phases, for
+                                               BOTH mc variants (the
+                                               default "lewiner" adds
+                                               the classify phase; the
+                                               "fast" opt-in skips it)
   d2h_ms, d2h_mb                            -- indexed-mesh readback
                                                (unique verts + faces),
                                                reported separately
                                                (tunnel-bound here, PCIe
                                                on real hosts)
   e2e_ms                                    -- warm generate() wall time
+                                               (the lewiner default)
 
 Timing method: warm up (compile), then K back-to-back dispatches with one
-tiny-slice sync at the end of each phase batch.
+tiny-slice sync at the end of each phase batch.  Every phase reports BOTH
+the min and the median across rep batches (the tunneled runtime's
+dispatch latency drifts 2-3x between sessions; docs quote ranges that
+must contain both -- tools/check_docs_perf.py enforces it against the
+committed BENCH_r*.json artifacts).
+
+The line also carries the north-star topology witness: the canonicalized
+triangle-soup sha256 of examples/example.py at samples=2**24 for both
+variants as computed BY THIS RUN (f32 on the bench device).  The
+bit-exact committed pin lives in tests/test_topology_2p24.py (float64,
+CPU, deterministic); the hash here witnesses that the driver artifact
+exercised the north-star config end-to-end.
+
+``python bench.py --mesh`` instead runs the multi-device weak-scaling
+harness (SURVEY.md section 2.3, BASELINE.md >=85% target): for each mesh
+size 1, 2, 4, ..., ndev it runs the sharded dense and sparse-tiles paths
+with samples scaled proportionally to the device count (constant
+per-device work) and reports per-size warm times plus weak-scaling
+efficiency t1/tk.  With one visible chip it degrades to the 1-device
+row and says so -- run it on a real multi-chip host to measure the
+north-star.  (CI runs it on the 8-virtual-CPU-device topology to pin
+the plumbing: tests/test_parallel.py::test_bench_mesh_harness.)
 """
 
+import hashlib
 import json
+import statistics
+import sys
 import time
 
 BASELINE_PTS_PER_S = 4.7e6  # BASELINE.md: reference CPU, example model, 2^22
@@ -34,26 +63,54 @@ def _fence(x):
 
 
 def _timed(f, *args, K=5, reps=3):
-    """Best-of-``reps`` batches of K amortized dispatches.
+    """(min, median) seconds over ``reps`` batches of K amortized
+    dispatches.
 
     The tunneled runtime's dispatch/transfer latency drifts 2-3x between
-    sessions and within them; the minimum over a few batches is the least
-    contaminated estimate of device time.
+    sessions and within them; the minimum is the least contaminated
+    estimate of device time, the median shows what a typical dispatch
+    saw this session.
     """
     import jax
 
     r = f(*args)
     jax.block_until_ready(r)
     _fence(jax.tree_util.tree_leaves(r)[0])
-    best = float("inf")
+    ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
         for _ in range(K):
             r = f(*args)
         jax.block_until_ready(r)
         _fence(jax.tree_util.tree_leaves(r)[0])
-        best = min(best, (time.perf_counter() - t0) / K)
-    return best, r
+        ts.append((time.perf_counter() - t0) / K)
+    return min(ts), statistics.median(ts), r
+
+
+def _soup_hash(pts):
+    """sha256 of the canonicalized (rounded, lexsorted) triangle soup --
+    same canonicalization as the committed topology pins."""
+    import numpy as np
+
+    tris = np.asarray(pts, np.float64).round(9).reshape(-1, 9)
+    return hashlib.sha256(tris[np.lexsort(tris.T[::-1])].tobytes()).hexdigest()
+
+
+def _example_grid(samples, dtype):
+    import numpy as np
+
+    from sdf_tpu.core import engine
+    from sdf_tpu.models import example
+
+    f = example()
+    bounds = engine._estimate_bounds(f, dtype)
+    (x0, y0, z0), (x1, y1, z1) = bounds
+    volume = (x1 - x0) * (y1 - y0) * (z1 - z0)
+    step = (volume / samples) ** (1 / 3)
+    X = np.arange(x0, x1, step)
+    Y = np.arange(y0, y1, step)
+    Z = np.arange(z0, z1, step)
+    return f, X, Y, Z, volume, bounds
 
 
 def main():
@@ -61,30 +118,23 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    from sdf_tpu.core import engine, mc
+    from sdf_tpu.core import engine, mc, mc33
     from sdf_tpu.core.node import cast
-    from sdf_tpu.models import example
 
-    f = example()
     dtype = jnp.float32
-    sdf_c = cast(f, dtype)
-
-    bounds = engine._estimate_bounds(f, dtype)
+    f, X, Y, Z, volume, bounds = _example_grid(2**22, dtype)
     (x0, y0, z0), (x1, y1, z1) = bounds
-    samples = 2**22
-    volume = (x1 - x0) * (y1 - y0) * (z1 - z0)
-    step = (volume / samples) ** (1 / 3)
-    X = np.arange(x0, x1, step)
-    Y = np.arange(y0, y1, step)
-    Z = np.arange(z0, z1, step)
+    sdf_c = cast(f, dtype)
     n_points = len(X) * len(Y) * len(Z)
     s = engine.BATCH_SIZE
 
     # --- headline: eval throughput (amortized, one final fence) ----------
-    t_eval, vol = _timed(engine._eval_volume, sdf_c, X, Y, Z, dtype, K=40)
+    t_eval, t_eval_med, vol = _timed(
+        engine._eval_volume, sdf_c, X, Y, Z, dtype, K=40
+    )
     pts_per_s = n_points / t_eval
 
-    # --- per-phase dense pipeline (each fenced) --------------------------
+    # --- per-phase dense pipeline (each fenced), BOTH variants -----------
     # Phases mirror generate()'s dense path: one counts dispatch (all
     # static buffer sizes in one scalar round trip), one fused
     # gather+emit dispatch producing the indexed mesh (unique per-edge
@@ -92,39 +142,64 @@ def main():
     cshape = (len(X) - 1, len(Y) - 1, len(Z) - 1)
     keep = jnp.ones(cshape, dtype=bool)
     tshape = tuple(-(-c // s) for c in cshape)
-    case = jax.block_until_ready(jax.jit(mc._cell_cases)(vol))
-    t_cnt, (ncells_dev, total, n_edges, per_tile, active, emask) = _timed(
-        lambda v, c, k: mc.count_indexed(v, c, k, s, tshape), vol, case, keep,
-        K=40,
+    case8 = jax.block_until_ready(jax.jit(mc._cell_cases)(vol))
+    # the lewiner default's extra step: extend 8-bit codes with the
+    # face-saddle + interior bits (one fused XLA pass over the volume)
+    t_cls, t_cls_med, ext = _timed(
+        lambda v, c: mc33.classify_ext(v, base_case=c), vol, case8, K=40
     )
-    n_cells, n, ne = (int(v) for v in (ncells_dev, total, n_edges))
-    ccap = mc.round_capacity(n_cells)
-    cap = mc.round_capacity(n)
-    ecap = mc.round_capacity(ne)
-    packed = True if ne < (1 << mc.FACE_PACK_BITS) else "wide"
-    t_emit, (everts, faces) = _timed(
-        lambda v, c, a, m: mc.gather_emit_indexed(
-            v, c, a, m, ecap, cap, ccap, packed=packed
-        ),
-        vol, case, active, emask, K=40,
-    )
+    phases = {}
+    for name, case, variant in (("lew", ext, "lewiner"), ("fast", case8, "default")):
+        t_cnt, t_cnt_med, (ncells_dev, total, n_edges, per_tile, active, emask) = _timed(
+            lambda v, c, k, _var=variant: mc.count_indexed(
+                v, c, k, s, tshape, _var
+            ),
+            vol, case, keep, K=40,
+        )
+        n_cells, n, ne = (int(v) for v in (ncells_dev, total, n_edges))
+        ccap = mc.round_capacity(n_cells)
+        cap = mc.round_capacity(n)
+        ecap = mc.round_capacity(ne)
+        packed = True if ne < (1 << mc.FACE_PACK_BITS) else "wide"
+        t_emit, t_emit_med, (everts, faces) = _timed(
+            lambda v, c, a, m, _var=variant: mc.gather_emit_indexed(
+                v, c, a, m, ecap, cap, ccap, packed=packed, variant=_var
+            ),
+            vol, case, active, emask, K=40,
+        )
+        phases[name] = dict(
+            cnt=t_cnt, cnt_med=t_cnt_med, emit=t_emit, emit_med=t_emit_med,
+            n=n, ne=ne, everts=everts, faces=faces,
+        )
 
     # --- mesh readback (packed wire format, best of 3) -------------------
+    ph = phases["lew"]
+    n, ne = ph["n"], ph["ne"]
     t_d2h = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        eh = np.asarray(everts[:, :ne])
-        fh = np.asarray(faces[:, :n])
+        eh = np.asarray(ph["everts"][:, :ne])
+        fh = np.asarray(ph["faces"][:, :n])
         t_d2h = min(t_d2h, time.perf_counter() - t0)
     mb = (eh.nbytes + fh.nbytes) / 1e6
 
-    # --- warm end-to-end generate() (best of 3) --------------------------
-    f.generate(samples=samples, verbose=False)  # warm
+    # --- warm end-to-end generate() (the lewiner default; best of 3) -----
+    f.generate(samples=2**22, verbose=False)  # warm
     t_e2e = float("inf")
+    e2es = []
     for _ in range(3):
         t0 = time.perf_counter()
-        pts = f.generate(samples=samples, verbose=False)
-        t_e2e = min(t_e2e, time.perf_counter() - t0)
+        pts = f.generate(samples=2**22, verbose=False)
+        e2es.append(time.perf_counter() - t0)
+    t_e2e = min(e2es)
+
+    # --- north-star topology witness: example @ 2^24, both variants ------
+    soup24 = {}
+    tris24 = 0
+    for variant in ("lewiner", "fast"):
+        p24 = f.generate(samples=2**24, verbose=False, mc_variant=variant)
+        soup24[variant] = _soup_hash(p24)
+        tris24 = len(p24) // 3
 
     # --- flagship scale: 2^26 (the docs' headline claims, regression-
     # guarded here so BENCH_r* carries every number PERF.md quotes) ------
@@ -133,7 +208,7 @@ def main():
     X26 = np.arange(x0, x1, step26)
     Y26 = np.arange(y0, y1, step26)
     Z26 = np.arange(z0, z1, step26)
-    t_eval26, _ = _timed(
+    t_eval26, t_eval26_med, _ = _timed(
         engine._eval_volume, sdf_c, X26, Y26, Z26, dtype, K=4, reps=2
     )
     pts26_per_s = (len(X26) * len(Y26) * len(Z26)) / t_eval26
@@ -149,6 +224,7 @@ def main():
         kpts = k26.generate(samples=2**26, verbose=False)
         t_knurl = min(t_knurl, time.perf_counter() - t0)
 
+    lew, fast = phases["lew"], phases["fast"]
     print(
         json.dumps(
             {
@@ -156,17 +232,37 @@ def main():
                 "value": pts_per_s,
                 "unit": "points/s",
                 "vs_baseline": pts_per_s / BASELINE_PTS_PER_S,
+                "pts_per_s_median": round(n_points / t_eval_med),
                 "eval_ms": round(t_eval * 1e3, 2),
-                "count_ms": round(t_cnt * 1e3, 2),
-                "gather_emit_ms": round(t_emit * 1e3, 2),
+                "eval_ms_med": round(t_eval_med * 1e3, 2),
+                "lewiner_classify_ms": round(t_cls * 1e3, 2),
+                "lewiner_classify_ms_med": round(t_cls_med * 1e3, 2),
+                "count_ms": round(lew["cnt"] * 1e3, 2),
+                "gather_emit_ms": round(lew["emit"] * 1e3, 2),
                 "device_pipeline_ms": round(
-                    (t_eval + t_cnt + t_emit) * 1e3, 2
+                    (t_eval + t_cls + lew["cnt"] + lew["emit"]) * 1e3, 2
+                ),
+                "device_pipeline_ms_med": round(
+                    (t_eval_med + t_cls_med + lew["cnt_med"] + lew["emit_med"])
+                    * 1e3, 2
+                ),
+                "fast_count_ms": round(fast["cnt"] * 1e3, 2),
+                "fast_gather_emit_ms": round(fast["emit"] * 1e3, 2),
+                "fast_device_pipeline_ms": round(
+                    (t_eval + fast["cnt"] + fast["emit"]) * 1e3, 2
                 ),
                 "d2h_ms": round(t_d2h * 1e3, 2),
                 "d2h_mb": round(mb, 2),
                 "e2e_ms": round(t_e2e * 1e3, 2),
+                "e2e_ms_med": round(statistics.median(e2es) * 1e3, 2),
                 "triangles": len(pts) // 3,
+                "soup_sha256_2p24_lewiner": soup24["lewiner"],
+                "soup_sha256_2p24_fast": soup24["fast"],
+                "triangles_2p24": tris24,
                 "eval_2p26_pts_per_s": round(pts26_per_s),
+                "eval_2p26_pts_per_s_med": round(
+                    (len(X26) * len(Y26) * len(Z26)) / t_eval26_med
+                ),
                 "knurling_2p26_e2e_s": round(t_knurl, 3),
                 "knurling_2p26_triangles": len(kpts) // 3,
             }
@@ -174,5 +270,76 @@ def main():
     )
 
 
+def mesh_main(base_samples=2**20, out=print):
+    """Multi-device weak-scaling harness (``bench.py --mesh``).
+
+    For each mesh size k in 1, 2, 4, ..., ndev: warm sharded dense and
+    sparse-tiles runs of the example model at ``samples = base_samples *
+    k`` (constant per-device work), reporting warm wall times and
+    weak-scaling efficiency ``t1 / tk`` per path.  The >=85% BASELINE.md
+    target applies to the efficiency columns when ndev > 1 on real
+    chips; at 1 visible device this degrades to the k=1 row (noted in
+    the output) so the command is ALWAYS runnable -- point it at a
+    multi-chip host to measure the north star.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from sdf_tpu.models import example
+    from sdf_tpu.parallel import grid as pgrid
+
+    devs = jax.devices()
+    sizes = [1]
+    while sizes[-1] * 2 <= len(devs):
+        sizes.append(sizes[-1] * 2)
+    f = example()
+    rows = []
+    for k in sizes:
+        mesh = pgrid.make_mesh(devs[:k])
+        samples = base_samples * k
+        row = {"devices": k, "samples": samples}
+        for path, kw in (
+            ("dense", dict(sparse=False)),
+            ("tiles", dict(sparse="tiles")),
+        ):
+            kw = dict(
+                samples=samples, verbose=False, mesh=mesh,
+                dtype=jnp.float32, **kw
+            )
+            f.generate(**kw)  # warm (compile + memos)
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                pts = f.generate(**kw)
+                best = min(best, time.perf_counter() - t0)
+            row[f"{path}_s"] = round(best, 4)
+            row[f"{path}_triangles"] = len(pts) // 3
+        rows.append(row)
+    for row in rows:
+        for path in ("dense", "tiles"):
+            row[f"{path}_weak_eff"] = round(
+                rows[0][f"{path}_s"] / row[f"{path}_s"], 4
+            )
+    result = {
+        "metric": "mesh_weak_scaling",
+        "unit": "efficiency (t1/tk, weak scaling)",
+        "value": rows[-1]["dense_weak_eff"],
+        "vs_baseline": rows[-1]["dense_weak_eff"] / 0.85,  # >=1 meets target
+        "visible_devices": len(devs),
+        "platform": jax.default_backend(),
+        "rows": rows,
+    }
+    if len(devs) == 1:
+        result["note"] = (
+            "single visible device: efficiency is trivially 1.0; run on a "
+            "multi-chip host to measure the >=85% north-star"
+        )
+    out(json.dumps(result))
+    return result
+
+
 if __name__ == "__main__":
-    main()
+    if "--mesh" in sys.argv[1:]:
+        mesh_main()
+    else:
+        main()

@@ -120,11 +120,13 @@ def ext_from_bits(case, extra):
 
 
 @functools.lru_cache()
-def _conflicted_mask():
-    """Bool per extended code: the builder's dense-sampling oracle saw a
-    class mixture for this entry (conflict_rate > 0), so its
-    triangulation is a majority vote (docs/TOPOLOGY.md section 4.2)."""
-    return np.asarray(load_tables()["conflict_rate"] > 0)
+def _conflicted_codes():
+    """The extended codes whose builder oracle saw a class mixture
+    (conflict_rate > 0), so their triangulation is a majority vote
+    (docs/TOPOLOGY.md section 4.2).  A short static tuple (21 codes)."""
+    return tuple(
+        int(c) for c in np.nonzero(load_tables()["conflict_rate"] > 0)[0]
+    )
 
 
 @jax.jit
@@ -132,9 +134,19 @@ def count_conflicted(ext, keep):
     """Number of kept cells whose extended code is a majority-voted
     (conflicted) table entry -- the per-run observability hook for the
     21/1534 codes whose topology rests on the builder's one-time vote.
-    Surfaces as LAST_STATS['mc33_conflicted_cells'] (engine.generate)."""
-    tab = jnp.asarray(_conflicted_mask())
-    return jnp.sum(tab[ext] & keep)
+    Surfaces as LAST_STATS['mc33_conflicted_cells'] (engine.generate).
+
+    Formulated as an unrolled chain of elementwise equality tests
+    against the (static, ~21-entry) conflicted-code list: a table
+    gather ``tab[ext]`` over all cells measured 558 ms at a 2^26 grid
+    on v5e (element-gather lowering), and the row-of-128 gather1d
+    materializes an (N, 128) row buffer (34 GB at 2^26); the compare
+    chain fuses into one VPU pass over ``ext`` with no intermediate
+    (~5 ms amortized at 2^26 on v5e)."""
+    hit = jnp.zeros(ext.shape, bool)
+    for code in _conflicted_codes():
+        hit = hit | (ext == code)
+    return jnp.sum(hit & keep).astype(jnp.int32)
 
 
 def _corners(volume, level=0.0):

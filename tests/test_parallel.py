@@ -213,3 +213,31 @@ def test_sharded_phases_accept_pallas_kernels(monkeypatch):
     np.testing.assert_array_equal(_tri_set(t1), _tri_set(t8))
     assert calls["n"] > 0, "patched kernels never traced (vacuous test)"
 
+
+
+def test_bench_mesh_harness():
+    """bench.py --mesh plumbing on the 8-virtual-device CI topology: mesh
+    sizes 1..8, dense + tiles rows, weak-scaling efficiencies computed.
+    (The >=85% north-star number itself needs real multi-chip hardware;
+    this pins that the command will produce it when pointed there.)"""
+    import json
+    import sys
+    import os
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    import bench
+
+    lines = []
+    result = bench.mesh_main(base_samples=2**13, out=lines.append)
+    assert result == json.loads(lines[0])
+    assert result["metric"] == "mesh_weak_scaling"
+    assert result["visible_devices"] == 8
+    assert [r["devices"] for r in result["rows"]] == [1, 2, 4, 8]
+    for row in result["rows"]:
+        assert row["samples"] == 2**13 * row["devices"]
+        for path in ("dense", "tiles"):
+            assert row[f"{path}_s"] > 0
+            assert row[f"{path}_triangles"] > 0
+            assert 0 < row[f"{path}_weak_eff"]
+    assert result["rows"][0]["dense_weak_eff"] == 1.0
+    assert result["value"] == result["rows"][-1]["dense_weak_eff"]
