@@ -163,66 +163,83 @@ def _expand_tile_mask(keep, tile, shape):
     return m[: shape[0], : shape[1], : shape[2]]
 
 
-@partial(jax.jit, static_argnames=("dtype",))
-def _estimate_bounds_jit(sdf, dtype):
-    """Whole bounds-refinement loop as ONE device program.
+@jax.jit
+def _bounds_probe_jit(sdf, X, Y, Z):
+    """One 16^3 probe-grid evaluation for the bounds refinement.
 
-    The reference runs 32 host iterations each dispatching a 16^3 probe
-    grid (ref sdf/core.py:62-82); a host loop costs a device round trip
-    per iteration (~1s each through a TPU tunnel), so the loop lives in a
-    ``lax.while_loop`` and the host gets exactly one small transfer.
-    ``argwhere`` (dynamic shape) is replaced by masked index min/max.
+    jit caches on the expression's treedef + leaf shapes, so the 32
+    refinement iterations (and repeat expressions of the same
+    structure) share one compile."""
+    vol = sdf(Points(X[:, None, None], Y[None, :, None], Z[None, None, :]))
+    return jnp.broadcast_to(vol, (X.shape[0], Y.shape[0], Z.shape[0]))
+
+
+def _estimate_bounds_host(sdf, dtype):
+    """The reference's bounds refinement (ref sdf/core.py:62-82): 32
+    iterations of a 16^3 probe grid, ALL loop arithmetic in host
+    float64, the SDF evaluations on the LOCAL CPU backend in ``dtype``.
+
+    CPU evaluation (not the default accelerator) because the probe is
+    tiny (4096 points x <=32 sequential iterations) and each iteration
+    needs its mask on the host before the next grid exists: on a
+    tunneled TPU runtime 32 round trips cost ~2.8 s cold, on local CPU
+    ~10 ms -- and bounds become machine-independent (the same box on a
+    CPU-only CI node and a TPU pod), which the 1e-4 slack below makes
+    robust to the remaining eval-noise ties.
+
+    The loop state (box corners, cell step, threshold) must be float64:
+    an earlier all-on-device ``lax.while_loop`` version carried it in
+    the eval dtype, and at float32 the accumulated state rounding
+    shifted which probe points tie against the threshold -- the
+    refinement then converged to a *different* (asymmetric, backend-
+    dependent) box: (-0.795, 0.902) vs the reference's (-0.845, 0.845)
+    on the canonical example model, an 8% triangle-count swing at the
+    same ``samples``.  With f64 host state the trajectory is identical
+    on every backend (verified CPU vs TPU per-iteration) and equals the
+    reference's bit-for-bit when the evaluation dtype is float64.
+
+    The eval-dtype slack keeps mask decisions stable against the
+    ~1e-7-relative cross-backend eval noise: probe points land exactly
+    on |d| == threshold for axis-aligned models, and the 1e-4 offset
+    moves the cutoff off that structural tie.  Zero at float64 so CPU
+    bounds match the reference exactly (tests/test_periphery.py).
     """
     s = 16
-    big = jnp.asarray(1e9, dtype)
-
-    def cond(state):
-        i, lo, hi, prev, empty = state
-        X = jnp.linspace(lo[0], hi[0], s)
-        Y = jnp.linspace(lo[1], hi[1], s)
-        Z = jnp.linspace(lo[2], hi[2], s)
-        d = jnp.stack([X[1] - X[0], Y[1] - Y[0], Z[1] - Z[0]])
-        threshold = jnp.linalg.norm(d) / 2
-        return (i < 32) & (threshold != prev) & ~empty
-
-    def body(state):
-        i, lo, hi, prev, empty = state
-        X = jnp.linspace(lo[0], hi[0], s)
-        Y = jnp.linspace(lo[1], hi[1], s)
-        Z = jnp.linspace(lo[2], hi[2], s)
-        d = jnp.stack([X[1] - X[0], Y[1] - Y[0], Z[1] - Z[0]])
-        threshold = jnp.linalg.norm(d) / 2
-        vol = sdf(Points(X[:, None, None], Y[None, :, None], Z[None, None, :]))
-        vol = jnp.broadcast_to(vol, (s, s, s))
-        # Tiny relative slack in float32 only: probe points can land
-        # exactly on |d| == threshold (the canonical example model does);
-        # err on the side of keeping cells.  None at float64 so bounds
-        # match the reference bit-for-bit.
-        # Canonicalize first: without jax_enable_x64 a float64 request
-        # silently computes in float32 and still needs the slack.
-        real = jax.dtypes.canonicalize_dtype(jnp.dtype(dtype))
-        slack = 0.0 if real.itemsize >= 8 else 1e-4
-        mask = jnp.abs(vol) <= threshold * (1 + slack)
-        empty = ~jnp.any(mask)
-
-        idx = jnp.arange(s, dtype=dtype)
-        axis_mask = [
-            jnp.any(mask, axis=(1, 2)),
-            jnp.any(mask, axis=(0, 2)),
-            jnp.any(mask, axis=(0, 1)),
-        ]
-        imin = jnp.stack([jnp.min(jnp.where(m, idx, big)) for m in axis_mask])
-        imax = jnp.stack([jnp.max(jnp.where(m, idx, -big)) for m in axis_mask])
-        new_hi = lo + imax * d + d / 2
-        new_lo = lo + imin * d - d / 2
-        lo = jnp.where(empty, lo, new_lo)
-        hi = jnp.where(empty, hi, new_hi)
-        return (i + 1, lo, hi, threshold, empty)
-
-    lo0 = jnp.full((3,), -big)
-    hi0 = jnp.full((3,), big)
-    state = (jnp.int32(0), lo0, hi0, jnp.asarray(-1.0, dtype), jnp.asarray(False))
-    _, lo, hi, _, empty = jax.lax.while_loop(cond, body, state)
+    real = jax.dtypes.canonicalize_dtype(jnp.dtype(dtype))
+    slack = 0.0 if real.itemsize >= 8 else 1e-4
+    lo = np.full(3, -1e9)
+    hi = np.full(3, 1e9)
+    prev = None
+    empty = True
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        # cast() inside the scope so parameter leaves stay uncommitted
+        # CPU arrays (a committed-to-TPU leaf would drag the probe back
+        # onto the accelerator).
+        sdf_c = cast(sdf, dtype)
+        for _ in range(32):
+            X = np.linspace(lo[0], hi[0], s)
+            Y = np.linspace(lo[1], hi[1], s)
+            Z = np.linspace(lo[2], hi[2], s)
+            d = np.array([X[1] - X[0], Y[1] - Y[0], Z[1] - Z[0]])
+            threshold = np.linalg.norm(d) / 2
+            if threshold == prev:
+                break
+            prev = threshold
+            vol = np.asarray(
+                _bounds_probe_jit(
+                    sdf_c,
+                    jnp.asarray(X, dtype),
+                    jnp.asarray(Y, dtype),
+                    jnp.asarray(Z, dtype),
+                ),
+                dtype=np.float64,
+            )
+            where = np.argwhere(np.abs(vol) <= threshold * (1 + slack))
+            if len(where) == 0:
+                break
+            empty = False
+            hi = lo + where.max(axis=0) * d + d / 2
+            lo = lo + where.min(axis=0) * d - d / 2
     return lo, hi, empty
 
 
@@ -231,14 +248,15 @@ _EMPTY = np.empty(0)
 
 
 def _estimate_bounds(sdf, dtype=jnp.float32):
-    """Probe-grid bounds estimation (ref sdf/core.py:62-82), on device.
+    """Probe-grid bounds estimation (ref sdf/core.py:62-82): device
+    evals, float64 host refinement (see _estimate_bounds_host).
 
     The refinement loop is deterministic in the expression (structure,
     parameter leaves, AND closure statics -- the same fingerprint the
     checkpoint machinery uses), so repeat ``generate()`` calls on an
-    unchanged model reuse the memoized result instead of paying the
-    ~160 ms device round trip every time.  ``.k()`` tags and parameter
-    edits change the fingerprint and re-probe.
+    unchanged model reuse the memoized result instead of paying the up
+    to 32 small device round trips every time.  ``.k()`` tags and
+    parameter edits change the fingerprint and re-probe.
     """
     from ..utils import checkpoint as ckpt
 
@@ -251,9 +269,7 @@ def _estimate_bounds(sdf, dtype=jnp.float32):
         key = None  # unhashable exotic closure: just re-estimate
     if key is not None and key in _BOUNDS_MEMO:
         return _BOUNDS_MEMO[key]
-    sdf_c = cast(sdf, dtype)
-    lo, hi, empty = _estimate_bounds_jit(sdf_c, dtype)
-    lo, hi, empty = np.asarray(lo), np.asarray(hi), bool(empty)
+    lo, hi, empty = _estimate_bounds_host(sdf, dtype)
     if empty:
         raise ValueError(
             "bounds estimation failed (no surface found); pass bounds= explicitly"
@@ -617,11 +633,11 @@ def generate(
         # Tiled sparse pipeline: evaluate only the tiles the probe cull
         # kept (SURVEY.md section 7 step 4); work scales with surface
         # area instead of grid volume.  On TPU, gather-free expressions
-        # default to the lane-major batched Pallas eval+classify kernel
-        # (128 tiles on the vector lanes; 1.3-1.8x XLA's chunked tile
-        # eval at 2^22, PERF.md) with a memoized XLA fallback for trees
-        # too wide for VMEM; gather-bearing expressions use the per-tile
-        # hybrid kernel only when use_pallas=True.
+        # race the lane-major batched Pallas eval+classify kernel (128
+        # tiles on the vector lanes) against XLA's chunked tile eval
+        # once per scale and keep the measured winner (PERF.md);
+        # gather-bearing expressions use the per-tile hybrid kernel
+        # only when use_pallas=True.
         from . import sparse as sparse_mod
         from ..utils import checkpoint as ckpt_mod
 

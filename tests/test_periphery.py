@@ -191,6 +191,31 @@ def test_bounds_estimation_matches_reference():
     np.testing.assert_allclose(ours, theirs, rtol=1e-6, atol=1e-6)
 
 
+def test_bounds_estimation_float32_tracks_reference():
+    """float32-eval bounds stay next to the reference's float64 box.
+
+    The refinement arithmetic runs in host float64 regardless of the
+    eval dtype (engine._estimate_bounds_host); when the loop state was
+    carried in float32 on device, the canonical example model converged
+    to an asymmetric (-0.795, 0.902) box instead of the reference's
+    (-0.845, 0.845) -- an 8% triangle-count swing at equal samples, and
+    a different answer per backend.  Pin that f32 bounds now agree with
+    the f64 box to well under one probe-cell, and are symmetric for
+    this symmetric model."""
+    import jax.numpy as jnp
+    from sdf_tpu.core import engine
+
+    def build(m):
+        f = m.sphere(1) & m.box(1.5)
+        c = m.cylinder(0.5)
+        return f - (c.orient(m.X) | c.orient(m.Y) | c.orient(m.Z))
+
+    b32 = np.asarray(engine._estimate_bounds(build(st), jnp.float32))
+    b64 = np.asarray(engine._estimate_bounds(build(st), jnp.float64))
+    np.testing.assert_allclose(b32, b64, atol=2e-4)
+    np.testing.assert_allclose(b32[0], -b32[1], atol=2e-4)
+
+
 def test_checkpoint_fingerprint_stable_across_builds():
     # Two separately-built identical expressions must fingerprint
     # identically (code-review finding: repr(treedef) embedded closure
