@@ -248,23 +248,46 @@ def _tile_kernel_batched(xw_ref, yw_ref, zw_ref, *rest, fn, treedef, scalar,
     (1, cz+1, 1, K) coordinate windows precomputed by XLA (cheap
     gathers); outputs vol (cz, xs, TS, K) and case (cz, xs, tile, K)
     per (group, xchunk, zchunk) grid step.
+
+    The z halo plane is CARRIED, not recomputed: TPU grids execute
+    sequentially (z-chunks innermost), so a VMEM scratch holds the last
+    evaluated z plane of the previous chunk, which is exactly this
+    chunk's plane 0 (same clamped coordinate window, same (g, xc)
+    block, elementwise eval -- bit-identical to re-evaluating it).
+    Only the first chunk of each (g, xc) column evaluates its plane 0,
+    under ``pl.when(zc == 0)``.  This cuts the eval halo tax from
+    (cz+1)/cz * (xs+1)/xs (1.5x at cz=2) to just (xs+1)/xs (~1.03x at
+    full-x blocks), and shrinks the per-intermediate VMEM footprint by
+    cz/(cz+1), letting wider trees fit bigger blocks.
     """
     TS = tile + 1
-    param_refs = rest[:-2]
-    vol_ref, case_ref = rest[-2:]
+    param_refs = rest[:-3]
+    vol_ref, case_ref, carry_ref = rest[-3:]
     x = xw_ref[...]  # (1, xs+1, 1, K): varies along the x dim
     y = yw_ref[...]  # (1, 1, TS, K)
     K = x.shape[-1]
-    z = zw_ref[...].reshape(cz + 1, 1, 1, K)  # leading-dims reshape only
+    zfull = zw_ref[...]  # (1, cz+1, 1, K)
     leaves = [
         r[...][0] if is_scalar else r[...]
         for r, is_scalar in zip(param_refs, scalar)
     ]
     params = jax.tree_util.tree_unflatten(treedef, leaves)
+
+    @pl.when(pl.program_id(2) == 0)
+    def _init_carry():
+        z0 = zfull[:, :1].reshape(1, 1, 1, K)
+        with hybrid.in_kernel():
+            carry_ref[...] = jnp.broadcast_to(
+                fn(params, Points(x, y, z0)), (1, xs + 1, TS, K)
+            )
+
+    z = zfull[:, 1:].reshape(cz, 1, 1, K)  # leading-dims reshape only
     with hybrid.in_kernel():
-        d = jnp.broadcast_to(
-            fn(params, Points(x, y, z)), (cz + 1, xs + 1, TS, K)
+        d_rest = jnp.broadcast_to(
+            fn(params, Points(x, y, z)), (cz, xs + 1, TS, K)
         )
+    d = jnp.concatenate([carry_ref[...], d_rest], axis=0)
+    carry_ref[...] = d_rest[cz - 1 :]
     vol_ref[...] = d[:cz, :xs]
 
     inside = d < 0
@@ -357,6 +380,21 @@ def eval_tiles_and_classify_batched(sdf_c, X, Y, Z, tiles, ntc, tile,
             jax.ShapeDtypeStruct(
                 (ng * nzc * cz, nxc * xs, tile, K), jnp.int32
             ),
+        ),
+        # The z-plane carry (see _tile_kernel_batched) requires the
+        # z-chunk grid dim to run sequentially; "arbitrary" (the
+        # sequential default) is pinned explicitly so a future
+        # parallel-semantics change cannot silently corrupt the carry.
+        scratch_shapes=[pltpu.VMEM((1, xs + 1, TS, K), X.dtype)],
+        # vmem_limit_bytes raises Mosaic's default 16 MB *scoped* vmem
+        # budget (v5e has 128 MB physical); wide CSG trees (knurling:
+        # ~19 MB of live intermediates at (3, 16) blocks) then compile
+        # at large low-halo blocks instead of degrading down the
+        # ladder.  96 MB leaves room for the in/out block pipeline
+        # buffers, which share the same physical VMEM.
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",) * 3,
+            vmem_limit_bytes=96 * 1024 * 1024,
         ),
         interpret=interpret,
     )(xw4, yw4, zw4, *leaves)

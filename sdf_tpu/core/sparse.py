@@ -52,7 +52,10 @@ def _eval_tiles(sdf, X, Y, Z, tiles, ntc, chunk, tile):
 
 
 def _tile_cases(vols, tile, variant="default"):
-    """Case codes for every tile-local cell: (ntc, tile, tile, tile)."""
+    """Case codes for every tile-local cell: (ntc, tile, tile, tile).
+
+    Called inside other jits (count/emit); ``_tile_cases_jit`` below is
+    the standalone-dispatch form (used by the routing race)."""
     if variant != "default":
         from . import mc33
 
@@ -62,6 +65,9 @@ def _tile_cases(vols, tile, variant="default"):
         corner = vols[:, ox : tile + ox, oy : tile + oy, oz : tile + oz]
         case = case | ((corner < 0).astype(jnp.int32) << b)
     return case
+
+
+_tile_cases_jit = partial(jax.jit, static_argnums=(1, 2))(_tile_cases)
 
 
 def _cell_valid(tiles, live, cshape, tile):
@@ -336,63 +342,125 @@ def _eval_tiles_pallas(sdf, Xp, Yp, Zp, tiles, ntc, tile, interpret):
     )
 
 
-# Memoized batched-kernel routing: expression-structure key -> chosen cz
-# (z-rows per kernel block) or False (= tree too wide for VMEM; XLA).
-# Mosaic holds every live intermediate in VMEM (no spilling), so deep CSG
-# trees overflow the ~16 MB scoped budget -- a failed compile costs
-# seconds through a tunneled runtime and must not be retried per call.
+# Memoized batched-kernel routing: (expression-structure, tile, ntc)
+# key -> chosen (cz, xs) | False (= XLA: tree too wide for VMEM, or it
+# lost the measured race).  Mosaic holds every live intermediate in
+# VMEM (no spilling), so deep CSG trees overflow the scoped budget -- a
+# failed compile costs seconds through a tunneled runtime and must not
+# be retried per call.  ntc is in the key because the winner is
+# scale-dependent: measured on v5e, the batched kernel ties XLA at
+# ~200 tiles (2^22 grids) and LOSES ~1.2x at ~1500 tiles (knurling at
+# 2^26), where XLA's chunked eval amortizes its dispatch (PERF.md).
 _BATCHED_CZ = {}
+
+
+def _race(contenders, rounds=2, K=4):
+    """min amortized seconds per contender, interleaved.
+
+    Interleaving is mandatory on this runtime: dispatch/transfer
+    latency drifts 2-3x within a session, so back-to-back (rather than
+    interleaved) A/B timings can invert the true ranking.  Round 3's
+    "batched kernel 1.3-1.8x faster than XLA" was exactly that artifact
+    (plus per-phase fencing); interleaved minima show parity at 2^22.
+    """
+    import time
+
+    best = {name: float("inf") for name, _ in contenders}
+    for _ in range(rounds):
+        for name, fn in contenders:
+            t0 = time.perf_counter()
+            for _ in range(K):
+                r = fn()
+            jax.block_until_ready(r)
+            np.asarray(jax.tree_util.tree_leaves(r)[0].ravel()[:1])
+            best[name] = min(best[name], (time.perf_counter() - t0) / K)
+    return best
 
 
 def _eval_tiles_auto(sdf_c, Xd, Yd, Zd, tiles_d, ntc, tile, dtype,
                      chunk_tiles, interpret, required=False):
-    """Pick the fastest available tile evaluator.
+    """Pick the fastest available tile evaluator, by measurement.
 
-    Returns ``(vols, case_or_None, mode)``: the lane-major batched Pallas
-    kernel when the expression fits VMEM (measured 1.7-1.8x faster than
-    XLA's chunked eval + classify on v5e), else XLA.  ``required`` raises
-    instead of falling back.
+    Returns ``(vols, case_or_None, mode)``.  First call per
+    (expression structure, tile, ntc): find the largest batched-kernel
+    block that compiles (ladder below), then RACE it against XLA's
+    chunked eval interleaved and memoize the winner -- the ranking is
+    scale- and model-dependent, so it is measured, not assumed.
+    ``required`` (use_pallas=True) skips the race and raises if the
+    kernel cannot compile.
     """
     from . import pallas_eval
     from .engine import _pallas_key
 
-    # VMEM fit depends on the TILE size (block shapes are (cz, xs, TS, K)),
-    # so tile is part of the key.
+    # VMEM fit depends on the TILE size (block shapes are (cz, xs, TS,
+    # K)); the race winner additionally depends on the tile count.
     key = (_pallas_key(sdf_c, dtype, (int(Xd.shape[0]), int(Yd.shape[0]))),
-           tile)
+           tile, int(ntc))
     blk = _BATCHED_CZ.get(key, "try")
+    if required and blk is False:
+        # A False memo can mean "lost the race", not "cannot compile";
+        # use_pallas=True must re-try the ladder.
+        blk = "try"
     last_exc = None
+
+    def batched(cz, xs):
+        return pallas_eval.eval_tiles_and_classify_batched(
+            sdf_c, Xd, Yd, Zd, tiles_d, ntc, tile, interpret=interpret,
+            cz=cz, xs=xs,
+        )
+
+    def xla():
+        return _eval_tiles(sdf_c, Xd, Yd, Zd, tiles_d, ntc, chunk_tiles,
+                           tile)
+
+    def xla_classified():
+        # The fair XLA contender for the race: the kernel fuses
+        # classification, the XLA route pays it inside _count_tiles
+        # (_tile_cases), so the race must charge XLA for it too
+        # (jitted here; in the real path it fuses into the count jit).
+        return _tile_cases_jit(xla(), tile, "default")
+
     if blk not in ("try", False):
         # Memoized block size: still guard the call (a stale entry must
         # degrade to the ladder, not crash auto mode).
-        cz, xs = blk
         try:
-            vols, case = pallas_eval.eval_tiles_and_classify_batched(
-                sdf_c, Xd, Yd, Zd, tiles_d, ntc, tile, interpret=interpret,
-                cz=cz, xs=xs,
-            )
+            vols, case = batched(*blk)
             return vols, case, "batched"
         except Exception as e:
             last_exc = e
             blk = "try"
     if blk == "try":
         # Block-size ladder: shrink (z-rows, x-rows) until the tree's
-        # live intermediates fit VMEM; halo recompute grows as blocks
-        # shrink ((cz+1)/cz * (xs+1)/xs), so try the largest first.
-        for trycz, tryxs in ((2, None), (3, 10), (1, 4)):
+        # live intermediates fit VMEM; the z halo is carried in scratch
+        # (free), so only the x halo recompute (xs+1)/xs grows as x
+        # blocks shrink -- try the largest first.
+        won = None
+        for trycz, tryxs in ((2, None), (3, 16), (3, 10), (1, 4)):
             try:
-                vols, case = pallas_eval.eval_tiles_and_classify_batched(
-                    sdf_c, Xd, Yd, Zd, tiles_d, ntc, tile,
-                    interpret=interpret, cz=trycz, xs=tryxs,
-                )
+                vols, case = batched(trycz, tryxs)
                 jax.block_until_ready(vols)
-                if len(_BATCHED_CZ) > 256:
-                    _BATCHED_CZ.clear()
-                _BATCHED_CZ[key] = (trycz, tryxs)
-                return vols, case, "batched"
+                won = (trycz, tryxs)
+                break
             except Exception as e:
                 last_exc = e
                 continue
+        if len(_BATCHED_CZ) > 256:
+            _BATCHED_CZ.clear()
+        if won is not None and not required and not interpret:
+            # Race the compiled kernel against XLA (warm both first --
+            # the call here also compiles) and keep the winner.  Costs
+            # rounds*K extra evals once per (expression, tile, ntc).
+            jax.block_until_ready(xla_classified())
+            t = _race(
+                [("batched", lambda: batched(*won)),
+                 ("xla", xla_classified)]
+            )
+            if t["xla"] < t["batched"]:
+                won = None
+                last_exc = None
+        if won is not None:
+            _BATCHED_CZ[key] = won
+            return vols, case, "batched"
         _BATCHED_CZ[key] = False
     if required:
         raise RuntimeError(
@@ -401,7 +469,7 @@ def _eval_tiles_auto(sdf_c, Xd, Yd, Zd, tiles_d, ntc, tile, dtype,
             "trees, or a lowering failure -- see the chained exception "
             "and PERF.md)"
         ) from last_exc
-    vols = _eval_tiles(sdf_c, Xd, Yd, Zd, tiles_d, ntc, chunk_tiles, tile)
+    vols = xla()
     return vols, None, "xla"
 
 
@@ -455,9 +523,9 @@ def mesh_sparse_tiles(sdf_c, X, Y, Z, skip, tile, dtype, chunk_tiles=128,
     ``skip`` is the probe-cull mask from the engine (True = culled) at
     ``tile`` (= engine batch_size) cells per tile per axis.
     ``use_pallas`` selects the evaluator: None = auto (on TPU,
-    gather-free expressions route to the lane-major batched Pallas
-    kernel -- measured 1.7-1.8x faster than XLA's chunked eval+classify
-    on v5e -- with a memoized XLA fallback for trees too wide for VMEM);
+    gather-free expressions RACE the lane-major batched Pallas kernel
+    against XLA's chunked eval+classify once per (expression, tile,
+    ntc) and memoize the measured winner -- see _eval_tiles_auto);
     True = Pallas required (batched, or the per-tile hybrid kernel for
     gather-bearing expressions; raises if neither lowers); False = XLA.
     ``memo_key`` (an expression+grid fingerprint from the engine) enables
