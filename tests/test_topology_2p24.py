@@ -41,9 +41,14 @@ SLOW = os.environ.get("SDF_TPU_SLOW") == "1"
 EXT_GRID_SHA256 = (
     "7740c3a5e9971c82db4c3f44931261e3035775b4e68bde3246e4a44fbe409bc8"
 )
+# Soup hashes re-pinned after the round-4 bounds overhaul (float64 host
+# refinement with np.linspace, commit "Bounds estimation: float64 host
+# refinement"): the f64 box moved ~1e-7 (jnp.linspace -> np.linspace),
+# shifting every vertex at the 1e-7 level while the discrete ext-grid
+# pin and the triangle count were unaffected.
 SOUP_SHA256 = {
-    "lewiner": "4868124e64f042719fd7b4fe4f8593aff850746866e2e7d2f6cabd3307928536",
-    "fast": "4868124e64f042719fd7b4fe4f8593aff850746866e2e7d2f6cabd3307928536",
+    "lewiner": "54d4ad9c22a8ce6bb77d8b763e2abb6878eda56ece4a40ea8aa274802b698ca3",
+    "fast": "54d4ad9c22a8ce6bb77d8b763e2abb6878eda56ece4a40ea8aa274802b698ca3",
 }
 N_TRIANGLES = 731152
 GRID_SHAPE = (256, 256, 256)
