@@ -199,6 +199,30 @@ def _rowpack_ranks_kernel(m_ref, out_ref, p_ref):
     out_ref[...], p_ref[...] = _prefix_pack(m_ref[...])
 
 
+def _rowpack_ranks_bytes_kernel(m_ref, out_ref, p_ref, b_ref):
+    """_rowpack_ranks_kernel + in-kernel mask byte-pack on the MXU.
+
+    ``b_ref`` (R, 16) int32: byte j of a row = the mask bits of lanes
+    8j..8j+7, LSB-first.  Computed here (the mask is already in VMEM)
+    because the same pack as an XLA pass materializes an (N/32, 32)-
+    shaped u32 intermediate -- ~60 ms at a 2^26 grid's 201.8M-slot edge
+    mask vs ~0 in-kernel.  The (128, 16) weight matrix
+    W[lane, lane >> 3] = 2^(lane & 7) is built from iotas (Pallas
+    kernels cannot capture array constants); products and per-column
+    sums (<= 255, 8 distinct powers of two) are exact in
+    bf16 x bf16 -> f32."""
+    m = m_ref[...]
+    out_ref[...], p_ref[...] = _prefix_pack(m)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (_LANES, 16), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (_LANES, 16), 1)
+    w = jnp.where((lane >> 3) == col, 1 << (lane & 7), 0)
+    b_ref[...] = jax.lax.dot_general(
+        m.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.int32)
+
+
 def indices_and_ranks_of_pallas(mask, capacity, interpret=False):
     """Fused ``(indices_of(mask, capacity), cumsum(mask) - 1)`` in one
     kernel pass over the mask.  Returns (indices, ranks, count)."""
@@ -246,6 +270,122 @@ def indices_and_ranks_of(mask, capacity, backend=None):
         jnp.flatnonzero(mask, size=capacity, fill_value=0),
         jnp.cumsum(mask.astype(jnp.int32)) - 1,
     )
+
+
+def _words_of_bytes(b16):
+    """(rows, 16) int32 mask bytes -> (rows, 4) uint32 words (LSB-first:
+    word k = bytes 4k..4k+3)."""
+    rows = b16.shape[0]
+    b = b16.astype(jnp.uint32).reshape(rows, 4, 4)
+    return (
+        b[:, :, 0] | (b[:, :, 1] << 8) | (b[:, :, 2] << 16)
+        | (b[:, :, 3] << 24)
+    )
+
+
+def _interleave_table(excl4, words):
+    """Interleaved per-32-slot (exclusive offset, bitmask word) u32 table.
+
+    Flat layout [off(s=0), word(s=0), off(1), word(1), ...] so ONE
+    512 B row fetch of the 128-lane-reshaped table serves both halves
+    of a pair (see rank_lookup)."""
+    pairs = jnp.stack([excl4.astype(jnp.uint32), words], axis=-1)
+    return pairs.reshape(-1)
+
+
+def _subgroup_table(m2, excl4):
+    """_interleave_table built directly from the (rows, 128) mask (the
+    non-kernel path; the TPU path gets its bytes from the fused
+    rowpack kernel instead)."""
+    rows = m2.shape[0]
+    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))
+    words = jnp.sum(
+        m2.reshape(rows, 4, 32).astype(jnp.uint32) * weights[None, None, :],
+        axis=2, dtype=jnp.uint32,
+    )
+    return _interleave_table(excl4, words)
+
+
+def indices_and_ranktable_of(mask, capacity, backend=None,
+                             _interpret=False):
+    """``indices_of`` plus a COMPACT rank structure instead of a
+    full-domain ranks array.
+
+    Returns ``(indices, table, total)`` where ``rank_lookup(table, i)``
+    == the rank (index in the compacted stream) of slot ``i`` for True
+    slots.  The table is 2 uint32 per 32 mask slots (~1/16 the memory
+    of the materialized ranks array); the point is GATHER LOCALITY: at
+    a 2^26 grid the edge-rank array is 800 MB and random row-gathers
+    from it cost ~2x more per element than from sub-50 MB tables
+    (measured on v5e, see PERF.md round 4) -- the table form is 50 MB
+    at the same scale and one row fetch serves a whole (offset, word)
+    pair."""
+    if backend is None:
+        backend = jax.default_backend()
+    n = mask.shape[0]
+    m2 = _pad_rows(mask)
+    rows_padded = m2.shape[0]
+    if backend == "tpu":
+        packed, p, b16 = pl.pallas_call(
+            _rowpack_ranks_bytes_kernel,
+            grid=(rows_padded // _R,),
+            in_specs=[pl.BlockSpec((_R, _LANES), lambda i: (i, 0))],
+            out_specs=[
+                pl.BlockSpec((_R, _LANES), lambda i: (i, 0)),
+                pl.BlockSpec((_R, _LANES), lambda i: (i, 0)),
+                pl.BlockSpec((_R, 16), lambda i: (i, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((rows_padded, _LANES), jnp.int32),
+                jax.ShapeDtypeStruct((rows_padded, _LANES), jnp.int32),
+                jax.ShapeDtypeStruct((rows_padded, 16), jnp.int32),
+            ],
+            interpret=_interpret,
+        )(m2)
+        cnt = p[:, _LANES - 1]
+        boff = jnp.cumsum(cnt) - cnt
+        # exclusive prefix at lanes 0/32/64/96: 0 and the inclusive
+        # prefix at the previous subgroup's last lane.
+        excl4 = boff[:, None] + jnp.concatenate(
+            [jnp.zeros((rows_padded, 1), jnp.int32), p[:, 31:96:32]], axis=1
+        )
+        out, total = _ragged_concat(packed, cnt, capacity)
+        table = _interleave_table(excl4, _words_of_bytes(b16))
+    else:
+        mi = m2.reshape(-1)
+        c = jnp.cumsum(mi)
+        excl4 = (c - mi)[::32].reshape(rows_padded, 4)
+        out = jnp.flatnonzero(mask, size=capacity, fill_value=0)
+        total = jnp.sum(mask.astype(jnp.int32))
+        table = _subgroup_table(m2, excl4)
+    return out, table, total
+
+
+def rank_lookup(table, idx, _force_rows=False):
+    """Rank of mask slot ``idx`` from an ``indices_and_ranktable_of``
+    table: pair-row gather + popcount of the word bits below the lane.
+
+    On TPU one 512 B row fetch of the 128-lane-reshaped table yields
+    BOTH pair halves (they are adjacent lanes), so the cost is one
+    gather1d-style fetch per element from a table ~16x smaller than the
+    materialized ranks array."""
+    sub = idx >> 5
+    bit = (idx & 31).astype(jnp.uint32)
+    if jax.default_backend() != "tpu" and not _force_rows:
+        off = table[2 * sub]
+        word = table[2 * sub + 1]
+    else:
+        r = -(-table.shape[0] // _LANES)
+        t2 = jnp.pad(table, (0, r * _LANES - table.shape[0])).reshape(
+            r, _LANES
+        )
+        rows = t2[sub >> 6]
+        lane0 = ((sub & 63) * 2)[:, None]
+        li = jax.lax.broadcasted_iota(jnp.int32, rows.shape, 1)
+        off = jnp.sum(jnp.where(li == lane0, rows, 0), axis=1)
+        word = jnp.sum(jnp.where(li == lane0 + 1, rows, 0), axis=1)
+    below = word & ((jnp.uint32(1) << bit) - jnp.uint32(1))
+    return (off + jax.lax.population_count(below)).astype(jnp.int32)
 
 
 def ragged_expand(counts, capacity, fill=None):

@@ -69,6 +69,12 @@ _SKIP_MEMO = {}
 # per rebuild; the structural hash is stable across rebuilds/processes.
 _PALLAS_BROKEN = set()
 
+# Measured dense-path routing: (pallas_key, nz) -> True (fused Pallas
+# kernel won the interleaved race) | False (XLA eval + classify won).
+# Like the tiles race (sparse._eval_tiles_auto), the winner is scale-
+# and model-dependent, so it is measured once per key, not assumed.
+_DENSE_RACE = {}
+
 
 def _pallas_key(sdf_c, dtype, nxy):
     from ..utils import checkpoint as ckpt
@@ -733,9 +739,15 @@ def generate(
             # are retried on every call (each costing a full compile
             # round trip); remember failures per expression *structure*
             # (closure statics included), dtype and xy extent -- stable
-            # across rebuilds of the same model.
+            # across rebuilds of the same model.  The z extent is in the
+            # RACE key (below) because the measured kernel-vs-XLA winner
+            # is scale-dependent.
             key = _pallas_key(sdf_c, dtype, (len(X), len(Y)))
-            if use_pallas is True or key not in _PALLAS_BROKEN:
+            rkey = (key, len(Z))
+            lost_race = use_pallas is not True and _DENSE_RACE.get(rkey) is False
+            if (use_pallas is True or key not in _PALLAS_BROKEN) and (
+                not lost_race
+            ):
                 try:
                     with _phase("pallas_eval", stats):
                         vol, case = pallas_eval.eval_and_classify(
@@ -749,6 +761,43 @@ def generate(
                     if len(_PALLAS_BROKEN) > 256:
                         _PALLAS_BROKEN.clear()
                     _PALLAS_BROKEN.add(key)
+                    vol = case = None
+            if (
+                vol is not None
+                and use_pallas is not True
+                and backend == "tpu"
+                and rkey not in _DENSE_RACE
+            ):
+                # First use at this scale: race the fused kernel against
+                # XLA eval + classify, interleaved (the only stable A/B
+                # protocol on a drifting runtime -- see PERF.md round 4;
+                # measured: the fused kernel ties XLA at 2^22 and LOSES
+                # ~1.2x on wide trees at 2^26).  Costs a few extra
+                # volume evals once per (expression, dtype, grid).
+                from . import sparse as sparse_mod
+
+                def _pal():
+                    return pallas_eval.eval_and_classify(
+                        sdf_c, X, Y, Z, dtype
+                    )[0]
+
+                def _xla():
+                    return jax.jit(mc._cell_cases)(
+                        _eval_volume(sdf_c, X, Y, Z, dtype)
+                    )
+
+                try:
+                    jax.block_until_ready(_xla())
+                    t = sparse_mod._race(
+                        [("pallas", _pal), ("xla", _xla)]
+                    )
+                    won = t["pallas"] <= t["xla"]
+                except Exception:
+                    won = True  # measurement failed: keep the kernel
+                if len(_DENSE_RACE) > 256:
+                    _DENSE_RACE.clear()
+                _DENSE_RACE[rkey] = won
+                if not won:
                     vol = case = None
         if vol is None:
             with _phase("eval_volume", stats):

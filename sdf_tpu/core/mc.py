@@ -420,8 +420,14 @@ def _emit_indexed_core(volume, emask, cell_state, edge_capacity, capacity,
 
     # --- one vertex per active edge -----------------------------------
     # One fused kernel pass yields both the compacted edge ids (vertex
-    # order) and every edge's rank (face resolution below).
-    eidx, inv = compact.indices_and_ranks_of(emask, edge_capacity)
+    # order) and the compact rank structure (face resolution below):
+    # 2 uint32 per 32 edge slots instead of a full-domain ranks array,
+    # because random row-gathers from the 800 MB ranks array at a 2^26
+    # grid cost ~2x more per element than from the 50 MB table
+    # (measured, PERF.md round 4).
+    eidx, ranktab, _ = compact.indices_and_ranktable_of(
+        emask, edge_capacity
+    )
 
     ax = (eidx >= Sx).astype(jnp.int32) + (eidx >= Sx + Sy).astype(jnp.int32)
 
@@ -458,7 +464,7 @@ def _emit_indexed_core(volume, emask, cell_state, edge_capacity, capacity,
     t = jnp.clip(va / jnp.where(denom == 0, 1.0, denom), 0.0, 1.0)
 
     faces, n_tris = _resolve_faces(
-        inv, cell_state, capacity, cell_capacity, ny, nz, Sx, Sy, variant
+        ranktab, cell_state, capacity, cell_capacity, ny, nz, Sx, Sy, variant
     )
     # The global z shift applies to the OUTPUT coordinate only (the volume
     # gather above uses slab-local indices).
@@ -496,14 +502,17 @@ def emit_indexed(volume, emask, cell_state, edge_capacity, capacity,
     return everts, faces, n_tris
 
 
-def _resolve_faces(inv, cell_state, capacity, cell_capacity, ny, nz, Sx, Sy,
-                   variant="default"):
+def _resolve_faces(ranktab, cell_state, capacity, cell_capacity, ny, nz,
+                   Sx, Sy, variant="default"):
     """Face resolution: per-triangle global edge ids -> compacted ranks.
 
-    ``inv`` maps global edge id -> compacted vertex rank (the ranks half
-    of ``compact.indices_and_ranks_of`` over the edge mask; a scatter of
-    arange over eidx instead measured 33 ms at a 2^22 grid vs ~2 ms for
-    the prefix-rank kernel)."""
+    ``ranktab`` is compact.indices_and_ranktable_of's rank structure
+    over the edge mask (global edge id -> compacted vertex rank via
+    rank_lookup).  History: a scatter of arange over eidx measured
+    33 ms at a 2^22 grid vs ~2 ms for the prefix-rank kernel; the
+    materialized full-domain ranks array that followed was retired in
+    round 4 when its 800 MB of random row-gathers at 2^26 measured ~2x
+    the per-element cost of the compact-table lookup."""
     ci, cj, ck, cell_case, cell_ntri = cell_state
     cbits = get_tables(variant).case_bits  # 8 default, 12 lewiner
 
@@ -566,7 +575,9 @@ def _resolve_faces(inv, cell_state, capacity, cell_capacity, ny, nz, Sx, Sy,
     # lookup.
     ev = _edge_ids_of(case_t, slot, variant)
     gids = [_edge_gid(ev[v], cx, cy, cz, ny, nz, Sx, Sy) for v in range(3)]
-    faces = compact.gather1d(inv, jnp.concatenate(gids)).reshape(3, capacity)
+    faces = compact.rank_lookup(ranktab, jnp.concatenate(gids)).reshape(
+        3, capacity
+    )
     return faces, n_tris
 
 

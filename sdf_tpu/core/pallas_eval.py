@@ -52,21 +52,23 @@ def _eval_root(root, p):
 
 def _kernel(x_ref, y_ref, z_ref, *rest, fn, treedef, scalar, bz, nx, ny,
             nvols=0):
-    param_refs = rest[: len(rest) - 2 - nvols]
-    gather_refs = rest[len(rest) - 2 - nvols : len(rest) - 2]
-    vol_ref, case_ref = rest[-2:]
+    """Dense fused eval+classify for one z-chunk of bz output planes.
+
+    The +1 z halo plane is CARRIED in VMEM scratch, not recomputed: the
+    1-D chunk grid runs sequentially, so chunk i's plane 0 (global
+    plane i*bz) is exactly chunk i-1's last evaluated plane (same
+    coordinate, elementwise eval -- bit-identical).  Only chunk 0
+    evaluates its plane 0, under pl.when.  Halo tax (bz+1)/bz -> 1.
+    """
+    param_refs = rest[: len(rest) - 3 - nvols]
+    gather_refs = rest[len(rest) - 3 - nvols : len(rest) - 3]
+    vol_ref, case_ref, carry_ref = rest[-3:]
 
     # The full padded z-coordinate vector lives in SMEM (scalar memory
-    # supports dynamic indexing); assemble this block's bz+1 coordinates
-    # from unrolled scalar reads at a dynamic base offset.
-    i = pl.program_id(0)
-    # Assemble the (bz+1, 1, 1) z column from scalar reads with an iota
+    # supports dynamic indexing); assemble this block's coordinates
+    # from unrolled scalar reads at a dynamic base offset with an iota
     # select -- Mosaic cannot reshape a 1D vector to 3D.
-    kidx = jax.lax.broadcasted_iota(jnp.int32, (bz + 1, 1, 1), 0)
-    z = sum(
-        jnp.where(kidx == k, z_ref[0, i * bz + k], 0.0)
-        for k in range(bz + 1)
-    )
+    i = pl.program_id(0)
     x = x_ref[...]
     y = y_ref[...]
 
@@ -76,11 +78,28 @@ def _kernel(x_ref, y_ref, z_ref, *rest, fn, treedef, scalar, bz, nx, ny,
         for r, is_scalar in zip(param_refs, scalar)
     ]
     params = jax.tree_util.tree_unflatten(treedef, leaves)
+    gvols = [r[...][0] for r in gather_refs]  # (bz+1, nx, ny) each
+
+    @pl.when(i == 0)
+    def _init_carry():
+        kidx0 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1), 0)
+        z0 = jnp.where(kidx0 == 0, z_ref[0, 0], 0.0)
+        p0 = Points(x[None, :, None], y[None, None, :], z0)
+        with hybrid.kernel_vols([g[:1] for g in gvols]):
+            carry_ref[...] = jnp.broadcast_to(fn(params, p0), (1, nx, ny))
+
+    kidx = jax.lax.broadcasted_iota(jnp.int32, (bz, 1, 1), 0)
+    z = sum(
+        jnp.where(kidx == k, z_ref[0, i * bz + 1 + k], 0.0)
+        for k in range(bz)
+    )
     # SoA broadcast evaluation, (z, x, y) axis order for lane-friendliness.
     p = Points(x[None, :, None], y[None, None, :], z)
-    with hybrid.kernel_vols([r[...][0] for r in gather_refs]):
-        d = jnp.broadcast_to(fn(params, p), (bz + 1, nx, ny))
+    with hybrid.kernel_vols([g[1:] for g in gvols]):
+        d_rest = jnp.broadcast_to(fn(params, p), (bz, nx, ny))
 
+    d = jnp.concatenate([carry_ref[...], d_rest], axis=0)
+    carry_ref[...] = d_rest[bz - 1 :]
     vol_ref[...] = d[:bz]
 
     inside = d < 0
@@ -121,6 +140,17 @@ def _pallas_invoke(leaves, X, Y, Zw, fn, treedef, scalar, nz, bz, interpret,
         out_shape=(
             jax.ShapeDtypeStruct((nchunks * bz, nx, ny), X.dtype),
             jax.ShapeDtypeStruct((nchunks * bz, nx - 1, ny - 1), jnp.int32),
+        ),
+        # z-plane carry (see _kernel): the chunk grid must run
+        # sequentially; "arbitrary" (the sequential default) is pinned
+        # so a future parallel-semantics change cannot corrupt it.
+        # vmem_limit_bytes: same rationale as the batched tile kernel
+        # (v5e has 128 MB physical; the default 16 MB scoped budget
+        # rejects wide trees / big-nx*ny slabs that in fact fit).
+        scratch_shapes=[pltpu.VMEM((1, nx, ny), X.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=96 * 1024 * 1024,
         ),
         interpret=interpret,
     )(X, Y, Zw, *leaves, *wins)

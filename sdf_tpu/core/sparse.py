@@ -224,9 +224,10 @@ def _emit_tiles_indexed(vols, tiles, live, case, emask, cshape,
 
     # --- one vertex per tile-local active edge ------------------------
     emf = emask.reshape(-1)
-    # One fused kernel pass: compacted edge ids (vertex order) + every
-    # edge's rank (face resolution below).
-    eidx, inv = compact.indices_and_ranks_of(emf, edge_capacity)
+    # One fused kernel pass: compacted edge ids (vertex order) + the
+    # compact rank structure (face resolution below; see
+    # compact.indices_and_ranktable_of -- gather locality at big grids).
+    eidx, ranktab, _ = compact.indices_and_ranktable_of(emf, edge_capacity)
     tid = eidx // Stile
     block = eidx % Stile
     a = block // Sblk
@@ -319,7 +320,9 @@ def _emit_tiles_indexed(vols, tiles, live, case, emask, cshape,
         + row[:, 3 * v + 2]
         for v in range(3)
     ]
-    faces = inv[jnp.concatenate(gids)].reshape(3, capacity)
+    faces = compact.rank_lookup(ranktab, jnp.concatenate(gids)).reshape(
+        3, capacity
+    )
     if packed is True:  # 21-bit face pack (vertex count fits)
         f = faces.astype(jnp.uint32)
         B = mc.FACE_PACK_BITS

@@ -270,6 +270,40 @@ def test_fused_indices_ranks_kernel():
         )
 
 
+def test_rank_table_matches_materialized_ranks():
+    """compact.indices_and_ranktable_of + rank_lookup must equal the
+    materialized flatnonzero/cumsum ranks at every True slot, on BOTH
+    the CPU fallback and the forced TPU-style (interpret kernel +
+    row-pair fetch) paths.  The table replaces the full-domain ranks
+    array in the emit phase (2 uint32 per 32 slots; gather locality at
+    2^26 -- see PERF.md round 4)."""
+    import jax.numpy as jnp
+    from sdf_tpu.core import compact
+
+    rng = np.random.RandomState(11)
+    for n, frac in ((700, 0.2), (8192, 0.5), (40000, 0.02), (513, 1.0),
+                    (9000, 0.0)):
+        m = jnp.asarray(rng.rand(n) < frac)
+        na = int(m.sum())
+        cap = max(1, 1 << max(0, na - 1).bit_length()) + 256
+        ranks_ref = np.cumsum(np.asarray(m).astype(np.int64)) - 1
+        tru = np.flatnonzero(np.asarray(m)).astype(np.int32)
+        for kw in (dict(), dict(backend="tpu", _interpret=True)):
+            idx, tab, tot = compact.indices_and_ranktable_of(m, cap, **kw)
+            assert int(tot) == na
+            np.testing.assert_array_equal(
+                np.asarray(idx)[:na], tru
+            )
+            if na:
+                for force in (False, True):
+                    got = compact.rank_lookup(
+                        tab, jnp.asarray(tru), _force_rows=force
+                    )
+                    np.testing.assert_array_equal(
+                        np.asarray(got), ranks_ref[tru]
+                    )
+
+
 def test_ragged_expand_matches_slot_compaction():
     """compact.ragged_expand must reproduce the old slot-mask compaction
     (ascending (row, rank) pairs, (0, 0) padding) across zero counts,

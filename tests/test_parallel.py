@@ -199,8 +199,17 @@ def test_sharded_phases_accept_pallas_kernels(monkeypatch):
         )
         return idx, ranks
 
+    orig_ranktable = compact.indices_and_ranktable_of
+
+    def fake_ranktable(m, cap, backend=None, _interpret=False):
+        calls["n"] += 1
+        return orig_ranktable(m, cap, backend="tpu", _interpret=True)
+
     monkeypatch.setattr(compact, "indices_of", fake_indices)
     monkeypatch.setattr(compact, "indices_and_ranks_of", fake_indices_ranks)
+    monkeypatch.setattr(
+        compact, "indices_and_ranktable_of", fake_ranktable
+    )
     jax.clear_caches()  # force retracing through the patched kernels
     f = sdf_tpu.sphere(1)
     kwargs = dict(samples=2**12, verbose=False)

@@ -81,12 +81,15 @@ def main():
     t, cell_state = _timed(partial(cc, cell_capacity=ccap), case, active)
     print(f"  compact_cells (4.2M mask pack + gathers):  {t*1e3:7.2f} ms")
 
-    # --- sub-phase: edge-mask pack + ranks (the 12.6M-element kernel) ---
+    # --- sub-phase: edge-mask pack + rank table -------------------------
     iro = jax.jit(
-        compact.indices_and_ranks_of_pallas, static_argnames=("capacity",)
+        compact.indices_and_ranktable_of,
+        static_argnames=("capacity", "backend"),
     )
-    t, (eidx, inv, _) = _timed(partial(iro, capacity=ecap), emask)
-    print(f"  indices_and_ranks_of (edge mask):          {t*1e3:7.2f} ms")
+    t, (eidx, ranktab, _) = _timed(
+        partial(iro, capacity=ecap, backend="tpu"), emask
+    )
+    print(f"  indices_and_ranktable_of (edge mask):      {t*1e3:7.2f} ms")
 
     # pack-only variant (no ranks output): isolates the ranks cost.
     @partial(jax.jit, static_argnames=("capacity",))
@@ -178,9 +181,9 @@ def main():
     t, _ = _timed(
         partial(rf, capacity=cap, cell_capacity=ccap, ny=ny, nz=nz, Sx=Sx,
                 Sy=Sy),
-        inv, cell_state,
+        ranktab, cell_state,
     )
-    print(f"  _resolve_faces (expand+edgeids+rank gather): {t*1e3:7.2f} ms")
+    print(f"  _resolve_faces (expand+edgeids+rank lookup): {t*1e3:7.2f} ms")
 
     # within resolve: ragged_expand with fill
     cell_ntri = cell_state[4]
@@ -211,16 +214,16 @@ def main():
     cz = rem % nz1
 
     @partial(jax.jit, static_argnames=("ny", "nz", "Sx", "Sy"))
-    def gids_rank(ev0, ev1, ev2, cx, cy, cz, inv, ny, nz, Sx, Sy):
+    def gids_rank(ev0, ev1, ev2, cx, cy, cz, tab, ny, nz, Sx, Sy):
         gids = [mc._edge_gid(e, cx, cy, cz, ny, nz, Sx, Sy)
                 for e in (ev0, ev1, ev2)]
-        return compact.gather1d(inv, jnp.concatenate(gids))
+        return compact.rank_lookup(tab, jnp.concatenate(gids))
 
     t, _ = _timed(
         partial(gids_rank, ny=ny, nz=nz, Sx=Sx, Sy=Sy),
-        ev[0], ev[1], ev[2], cx, cy, cz, inv,
+        ev[0], ev[1], ev[2], cx, cy, cz, ranktab,
     )
-    print(f"    _edge_gid + rank gather:                 {t*1e3:7.2f} ms")
+    print(f"    _edge_gid + rank lookup (pair table):    {t*1e3:7.2f} ms")
 
 
 if __name__ == "__main__":
