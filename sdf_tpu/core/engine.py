@@ -782,7 +782,9 @@ def generate(
                     )[0]
 
                 def _xla():
-                    return jax.jit(mc._cell_cases)(
+                    # _cell_cases is itself jitted (re-wrapping would
+                    # compile a second executable per race).
+                    return mc._cell_cases(
                         _eval_volume(sdf_c, X, Y, Z, dtype)
                     )
 
