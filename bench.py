@@ -208,11 +208,11 @@ def main():
 
     # --- north-star topology witness: example @ 2^24, both variants ------
     soup24 = {}
-    tris24 = 0
+    tris24 = {}
     for variant in ("lewiner", "fast"):
         p24 = f.generate(samples=2**24, verbose=False, mc_variant=variant)
         soup24[variant] = _soup_hash(p24)
-        tris24 = len(p24) // 3
+        tris24[variant] = len(p24) // 3
 
     # --- flagship scale: 2^26 (the docs' headline claims, regression-
     # guarded here so BENCH_r* carries every number PERF.md quotes) ------
@@ -271,7 +271,8 @@ def main():
                 "triangles": len(pts) // 3,
                 "soup_sha256_2p24_lewiner": soup24["lewiner"],
                 "soup_sha256_2p24_fast": soup24["fast"],
-                "triangles_2p24": tris24,
+                "triangles_2p24": tris24["lewiner"],
+                "triangles_2p24_fast": tris24["fast"],
                 "dispatch_floor_ms": round(t_floor * 1e3, 2),
                 "eval_pts_per_s_corrected": round(
                     n_points / max(t_eval - t_floor, 1e-9)

@@ -191,16 +191,12 @@ def indices_of_pallas(mask, capacity, interpret=False):
     return out, total
 
 
-def _rowpack_ranks_kernel(m_ref, out_ref, p_ref):
-    """Row-pack AND inclusive lane prefix in one pass: the emit path needs
-    both the compacted indices (vertex order) and every element's rank
-    (face resolution) of the SAME edge mask, and the O(N) prefix work is
-    identical -- fusing halves the kernel passes over the mask."""
-    out_ref[...], p_ref[...] = _prefix_pack(m_ref[...])
-
-
 def _rowpack_ranks_bytes_kernel(m_ref, out_ref, p_ref, b_ref):
-    """_rowpack_ranks_kernel + in-kernel mask byte-pack on the MXU.
+    """Row-pack + inclusive lane prefix + in-kernel mask byte-pack.
+
+    One kernel pass serves the whole emit phase: the compacted indices
+    (vertex order), the per-row prefix (rank-table offsets below), and
+    the mask bytes (rank-table words) of the SAME edge mask.
 
     ``b_ref`` (R, 16) int32: byte j of a row = the mask bits of lanes
     8j..8j+7, LSB-first.  Computed here (the mask is already in VMEM)
@@ -221,55 +217,6 @@ def _rowpack_ranks_bytes_kernel(m_ref, out_ref, p_ref, b_ref):
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(jnp.int32)
-
-
-def indices_and_ranks_of_pallas(mask, capacity, interpret=False):
-    """Fused ``(indices_of(mask, capacity), cumsum(mask) - 1)`` in one
-    kernel pass over the mask.  Returns (indices, ranks, count)."""
-    n = mask.shape[0]
-    m2 = _pad_rows(mask)
-    rows_padded = m2.shape[0]
-    packed, p = pl.pallas_call(
-        _rowpack_ranks_kernel,
-        grid=(rows_padded // _R,),
-        in_specs=[pl.BlockSpec((_R, _LANES), lambda i: (i, 0))],
-        out_specs=[
-            pl.BlockSpec((_R, _LANES), lambda i: (i, 0)),
-            pl.BlockSpec((_R, _LANES), lambda i: (i, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((rows_padded, _LANES), jnp.int32),
-            jax.ShapeDtypeStruct((rows_padded, _LANES), jnp.int32),
-        ],
-        interpret=interpret,
-    )(m2)
-
-    cnt = p[:, _LANES - 1]  # row totals fall out of the prefix
-    boff = jnp.cumsum(cnt) - cnt  # exclusive row offsets (N/128)
-    ranks = (p + (boff[:, None] - 1)).reshape(-1)[:n]
-    out, total = _ragged_concat(packed, cnt, capacity)
-    return out, ranks, total
-
-
-def indices_and_ranks_of(mask, capacity, backend=None):
-    """``(indices_of(mask, capacity), cumsum(mask) - 1)`` with the O(N)
-    prefix work shared in ONE kernel pass on TPU.
-
-    The ranks half is the scatter-free inverse of ``indices_of``: for
-    True elements, ``ranks[i]`` is that element's index in the compacted
-    stream; for False elements the value is meaningless (one less than
-    the next True rank).  Consumers that would scatter compacted slots
-    back into the full domain gather from this instead (XLA scatter
-    costs ~10x a same-size gather on TPU)."""
-    if backend is None:
-        backend = jax.default_backend()
-    if backend == "tpu":
-        idx, ranks, _ = indices_and_ranks_of_pallas(mask, capacity)
-        return idx, ranks
-    return (
-        jnp.flatnonzero(mask, size=capacity, fill_value=0),
-        jnp.cumsum(mask.astype(jnp.int32)) - 1,
-    )
 
 
 def _words_of_bytes(b16):

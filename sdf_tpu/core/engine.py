@@ -776,6 +776,8 @@ def generate(
                 # volume evals once per (expression, dtype, grid).
                 from . import sparse as sparse_mod
 
+                xla_vol = [None]  # reused below if XLA wins
+
                 def _pal():
                     return pallas_eval.eval_and_classify(
                         sdf_c, X, Y, Z, dtype
@@ -784,9 +786,8 @@ def generate(
                 def _xla():
                     # _cell_cases is itself jitted (re-wrapping would
                     # compile a second executable per race).
-                    return mc._cell_cases(
-                        _eval_volume(sdf_c, X, Y, Z, dtype)
-                    )
+                    xla_vol[0] = _eval_volume(sdf_c, X, Y, Z, dtype)
+                    return mc._cell_cases(xla_vol[0])
 
                 try:
                     jax.block_until_ready(_xla())
@@ -800,7 +801,14 @@ def generate(
                     _DENSE_RACE.clear()
                 _DENSE_RACE[rkey] = won
                 if not won:
-                    vol = case = None
+                    # The discarded kernel's phase time would otherwise
+                    # double-count evaluation next to eval_volume in
+                    # LAST_STATS on this one deciding run.
+                    if "pallas_eval" in stats:
+                        stats["pallas_eval_lost_race"] = stats.pop(
+                            "pallas_eval"
+                        )
+                    vol, case = xla_vol[0], None
         if vol is None:
             with _phase("eval_volume", stats):
                 vol = _eval_volume(sdf_c, X, Y, Z, dtype)

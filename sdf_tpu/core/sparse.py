@@ -416,12 +416,15 @@ def _eval_tiles_auto(sdf_c, Xd, Yd, Zd, tiles_d, ntc, tile, dtype,
         return _eval_tiles(sdf_c, Xd, Yd, Zd, tiles_d, ntc, chunk_tiles,
                            tile)
 
+    xla_vols = [None]  # last xla() eval, reusable if XLA wins the race
+
     def xla_classified():
         # The fair XLA contender for the race: the kernel fuses
         # classification, the XLA route pays it inside _count_tiles
         # (_tile_cases), so the race must charge XLA for it too
         # (jitted here; in the real path it fuses into the count jit).
-        return _tile_cases_jit(xla(), tile, "default")
+        xla_vols[0] = xla()
+        return _tile_cases_jit(xla_vols[0], tile, "default")
 
     if blk not in ("try", False):
         # Memoized block size: still guard the call (a stale entry must
@@ -462,7 +465,11 @@ def _eval_tiles_auto(sdf_c, Xd, Yd, Zd, tiles_d, ntc, tile, dtype,
                 won = None
                 last_exc = None
         if won is not None:
-            _BATCHED_CZ[key] = won
+            # A required (use_pallas=True) call must NOT overwrite a
+            # race-lost False memo: "compiles" and "won the race" are
+            # different facts, and auto-mode routing owns this memo.
+            if not (required and _BATCHED_CZ.get(key) is False):
+                _BATCHED_CZ[key] = won
             return vols, case, "batched"
         _BATCHED_CZ[key] = False
     if required:
@@ -472,8 +479,9 @@ def _eval_tiles_auto(sdf_c, Xd, Yd, Zd, tiles_d, ntc, tile, dtype,
             "trees, or a lowering failure -- see the chained exception "
             "and PERF.md)"
         ) from last_exc
-    vols = xla()
-    return vols, None, "xla"
+    if xla_vols[0] is None:
+        xla_vols[0] = xla()
+    return xla_vols[0], None, "xla"
 
 
 def unpack_tiles_indexed(epack, fpack, tiles_np, tile, dtype=np.float32):

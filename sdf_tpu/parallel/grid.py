@@ -211,7 +211,7 @@ def _phase_emit(vol, case, emask, keep_xy, mesh, c, ncz, tile, edge_capacity,
         mesh=mesh,
         in_specs=(P(AXIS), P(AXIS), P(AXIS), P()),
         out_specs=(P(AXIS), P(AXIS), P(AXIS)),
-        # compact.indices_of/indices_and_ranks_of are pallas_calls on
+        # compact.indices_of/indices_and_ranktable_of are pallas_calls on
         # TPU, whose out_shapes carry no vma annotation -- same reason
         # as phase 1.
         check_vma=False,

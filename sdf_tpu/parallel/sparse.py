@@ -79,7 +79,7 @@ def _phase_emit(vols, case, emask, tiles, live, mesh, cshape, tile,
         mesh=mesh,
         in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
         out_specs=(P(AXIS), P(AXIS), P(AXIS)),
-        # compact.indices_of/indices_and_ranks_of inside
+        # compact.indices_of/indices_and_ranktable_of inside
         # _emit_tiles_indexed are pallas_calls on TPU; their out_shapes
         # carry no vma annotation.
         check_vma=False,

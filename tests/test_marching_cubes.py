@@ -245,31 +245,6 @@ def test_indexed_emit_matches_soup_exactly():
         assert ne < 3 * nt
 
 
-def test_fused_indices_ranks_kernel():
-    """compact.indices_and_ranks_of_pallas (one kernel pass) must equal
-    flatnonzero + (cumsum - 1) bit-for-bit."""
-    import jax.numpy as jnp
-    from sdf_tpu.core import compact
-
-    rng = np.random.RandomState(7)
-    for n, frac in ((700, 0.2), (8192, 0.5), (40000, 0.02), (9000, 0.0)):
-        m = jnp.asarray(rng.rand(n) < frac)
-        na = int(m.sum())
-        cap = max(1, 1 << max(0, na - 1).bit_length()) + 256
-        idx, ranks, tot = compact.indices_and_ranks_of_pallas(
-            m, cap, interpret=True
-        )
-        assert int(tot) == na
-        np.testing.assert_array_equal(
-            np.asarray(idx),
-            np.asarray(jnp.flatnonzero(m, size=cap, fill_value=0)),
-        )
-        np.testing.assert_array_equal(
-            np.asarray(ranks),
-            np.asarray(jnp.cumsum(m.astype(jnp.int32)) - 1),
-        )
-
-
 def test_rank_table_matches_materialized_ranks():
     """compact.indices_and_ranktable_of + rank_lookup must equal the
     materialized flatnonzero/cumsum ranks at every True slot, on BOTH
@@ -366,18 +341,25 @@ def test_ragged_expand_matches_slot_compaction():
 
 
 def test_ranks_kernel_matches_cumsum():
-    """The fused kernel's ranks half (Pallas prefix-rank, interpret mode)
-    must equal cumsum(mask) - 1 everywhere (True slots = compaction
-    rank), across sizes the other fused test doesn't cover."""
+    """The fused kernel's rank structure (Pallas prefix + byte-pack,
+    interpret mode) must reproduce cumsum(mask) - 1 at every True slot
+    via rank_lookup, across sizes the other rank-table test doesn't
+    cover (full rows, near-empty, all-False)."""
     import jax.numpy as jnp
     from sdf_tpu.core import compact
 
     rng = np.random.RandomState(5)
     for n, frac in ((500, 0.3), (8192, 0.9), (50001, 0.01), (4000, 0.0)):
         m = jnp.asarray(rng.rand(n) < frac)
-        _, got, _ = compact.indices_and_ranks_of_pallas(m, 8, interpret=True)
-        ref = jnp.cumsum(m.astype(jnp.int32)) - 1
-        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+        _, tab, _ = compact.indices_and_ranktable_of(
+            m, 8, backend="tpu", _interpret=True
+        )
+        tru = np.flatnonzero(np.asarray(m)).astype(np.int32)
+        if len(tru) == 0:
+            continue
+        ref = (np.cumsum(np.asarray(m).astype(np.int64)) - 1)[tru]
+        got = compact.rank_lookup(tab, jnp.asarray(tru), _force_rows=True)
+        np.testing.assert_array_equal(np.asarray(got), ref)
 
 
 def test_tiles_indexed_emit_matches_soup_exactly():

@@ -177,7 +177,7 @@ def test_auto_sparsity_routes_to_tiles():
 
 
 def test_sharded_phases_accept_pallas_kernels(monkeypatch):
-    """On TPU, compact.indices_of/indices_and_ranks_of are pallas_calls
+    """On TPU, compact.indices_of/indices_and_ranktable_of are pallas_calls
     whose out_shapes carry no vma annotation; every shard_map wrapping
     them must pass check_vma=False or multi-device generate() crashes at
     trace time.  CPU CI normally takes the flatnonzero fallback and
@@ -192,13 +192,6 @@ def test_sharded_phases_accept_pallas_kernels(monkeypatch):
         calls["n"] += 1
         return compact.indices_of_pallas(m, cap, interpret=True)[0]
 
-    def fake_indices_ranks(m, cap, backend=None):
-        calls["n"] += 1
-        idx, ranks, _ = compact.indices_and_ranks_of_pallas(
-            m, cap, interpret=True
-        )
-        return idx, ranks
-
     orig_ranktable = compact.indices_and_ranktable_of
 
     def fake_ranktable(m, cap, backend=None, _interpret=False):
@@ -206,7 +199,6 @@ def test_sharded_phases_accept_pallas_kernels(monkeypatch):
         return orig_ranktable(m, cap, backend="tpu", _interpret=True)
 
     monkeypatch.setattr(compact, "indices_of", fake_indices)
-    monkeypatch.setattr(compact, "indices_and_ranks_of", fake_indices_ranks)
     monkeypatch.setattr(
         compact, "indices_and_ranktable_of", fake_ranktable
     )
@@ -250,3 +242,33 @@ def test_bench_mesh_harness():
             assert 0 < row[f"{path}_weak_eff"]
     assert result["rows"][0]["dense_weak_eff"] == 1.0
     assert result["value"] == result["rows"][-1]["dense_weak_eff"]
+
+
+def test_tiles_race_memo_not_clobbered_by_required():
+    """A use_pallas=True call must not overwrite a race-lost False memo
+    with its compiled block size: 'compiles' and 'won the race' are
+    different facts, and auto-mode routing owns the memo (code-review
+    finding)."""
+    import jax.numpy as jnp
+    from sdf_tpu.core import sparse as sp
+    from sdf_tpu.core.node import cast
+    from sdf_tpu.core import engine
+
+    f = cast(sdf_tpu.sphere(1.0), jnp.float32)
+    X = Y = Z = np.linspace(-1.2, 1.2, 17).astype(np.float32)
+    tiles = np.zeros((1, 3), np.int32)
+    args = (f, jnp.asarray(X), jnp.asarray(Y), jnp.asarray(Z),
+            jnp.asarray(tiles), 1, 16, jnp.float32, 128, True)
+    key = (engine._pallas_key(f, jnp.float32, (17, 17)), 16, 1)
+    sp._BATCHED_CZ.clear()
+    # simulate a prior race loss
+    sp._BATCHED_CZ[key] = False
+    vols, case, mode = sp._eval_tiles_auto(*args, required=True)
+    assert mode == "batched"  # required forces the kernel
+    assert sp._BATCHED_CZ[key] is False, (
+        "required call clobbered the auto-mode race verdict"
+    )
+    # auto mode still honors the False memo (interpret CI: no race)
+    vols2, case2, mode2 = sp._eval_tiles_auto(*args, required=False)
+    assert mode2 == "xla"
+    sp._BATCHED_CZ.clear()

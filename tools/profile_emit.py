@@ -115,24 +115,26 @@ def main():
 
         rows_padded = m2.shape[0]
         return pl.pallas_call(
-            compact._rowpack_ranks_kernel,
+            compact._rowpack_ranks_bytes_kernel,
             grid=(rows_padded // compact._R,),
             in_specs=[pl.BlockSpec((compact._R, compact._LANES),
                                    lambda i: (i, 0))],
             out_specs=[
                 pl.BlockSpec((compact._R, compact._LANES), lambda i: (i, 0)),
                 pl.BlockSpec((compact._R, compact._LANES), lambda i: (i, 0)),
+                pl.BlockSpec((compact._R, 16), lambda i: (i, 0)),
             ],
             out_shape=[
                 jax.ShapeDtypeStruct((rows_padded, compact._LANES),
                                      jnp.int32),
                 jax.ShapeDtypeStruct((rows_padded, compact._LANES),
                                      jnp.int32),
+                jax.ShapeDtypeStruct((rows_padded, 16), jnp.int32),
             ],
         )(m2)
 
     t, _ = _timed(rowpack_ranks, emask)
-    print(f"    rowpack+ranks kernel alone:              {t*1e3:7.2f} ms")
+    print(f"    rowpack+ranks+bytes kernel alone:        {t*1e3:7.2f} ms")
 
     # --- sub-phase: edge decode + endpoint gather + t -------------------
     @partial(jax.jit, static_argnames=())
