@@ -27,6 +27,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
 
 from . import compact
 from .mc_tables import CORNER_OFFSETS, EDGE_CORNERS, NTRI_TABLE, TRI_TABLE
@@ -147,6 +148,65 @@ def get_tables(variant="default"):
     return _TABLES[variant]
 
 
+_NTRI_BLOCK = 131072  # cells per ntri-kernel program ((8, 16384) blocks)
+
+
+def _ntri_kernel(case_ref, tab_ref, out_ref):
+    """In-VMEM two-stage ntri lookup for one (8, Bc) block of codes.
+
+    Per sub-row: one-hot the row nibble (case >> 4) against the (rows,
+    16) table on the MXU, then select the column (case & 15) with an
+    iota compare -- the same decomposition as the XLA form below, but
+    the one-hot never touches HBM (8 B in + 4 B out per cell vs an
+    (N, rows) bf16 stream: at a 2^26 grid the XLA form measures
+    ~16 ms default / ~19 ms lewiner, this kernel ~2-7 ms)."""
+    case = case_ref[...]  # (8, Bc) int32
+    tabT = tab_ref[...]  # (16, rows) bf16
+    rows = tabT.shape[1]
+    R, Bc = case.shape
+    for r in range(R):
+        hi = case[r : r + 1] >> 4  # (1, Bc)
+        oh = (
+            jax.lax.broadcasted_iota(jnp.int32, (rows, Bc), 0)
+            == jnp.broadcast_to(hi, (rows, Bc))
+        ).astype(jnp.bfloat16)
+        tmp = jax.lax.dot_general(
+            tabT, oh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (16, Bc)
+        sel = jax.lax.broadcasted_iota(jnp.int32, (16, Bc), 0) == (
+            jnp.broadcast_to(case[r : r + 1] & 15, (16, Bc))
+        )
+        out_ref[r, :] = jnp.sum(
+            jnp.where(sel, tmp, 0.0), axis=0
+        ).astype(jnp.int32)
+
+
+def _ntri_of_kernel(case, variant, _interpret=False):
+    """ntri_of via the in-VMEM Pallas lookup (TPU path); bit-exact same
+    results as the XLA form."""
+    tab = get_tables(variant)
+    shape = case.shape
+    flat = case.reshape(-1)
+    n = flat.shape[0]
+    Bc = _NTRI_BLOCK // 8
+    nb = -(-n // _NTRI_BLOCK)
+    c2 = jnp.pad(flat, (0, nb * _NTRI_BLOCK - n)).reshape(nb * 8, Bc)
+    tabT = jnp.asarray(tab.ntri_2d.T, jnp.bfloat16)  # (16, rows)
+    nt = pl.pallas_call(
+        _ntri_kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((8, Bc), lambda i: (i, 0)),
+            pl.BlockSpec(tabT.shape, lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((8, Bc), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((nb * 8, Bc), jnp.int32),
+        interpret=_interpret,
+    )(c2, tabT)
+    return nt.reshape(-1)[:n].reshape(shape)
+
+
 def ntri_of(case, variant="default"):
     """Per-cell triangle counts WITHOUT a table gather.
 
@@ -159,7 +219,17 @@ def ntri_of(case, variant="default"):
     every intermediate 16 lanes wide: 1.1 ms at a 2^22 grid on v5e.
     Exact: entries <= 10 are bf16-representable; the sum happens after
     the int32 cast.
+
+    On TPU the same decomposition runs as an in-VMEM Pallas kernel
+    (_ntri_of_kernel): even 16 lanes wide, the XLA intermediates stream
+    multi-GB at a 2^26 grid (~16 ms default / ~19 ms lewiner, whose
+    row table is 164 wide); in VMEM the lookup is ~2-7 ms.
     """
+    if jax.default_backend() == "tpu":
+        try:
+            return _ntri_of_kernel(case, variant)
+        except Exception:
+            pass  # Mosaic lowering surprise: fall through to XLA
     tab = get_tables(variant)
     flat = case.reshape(-1)
     oh_hi = jax.nn.one_hot(flat >> 4, tab.ntri_2d.shape[0], dtype=jnp.bfloat16)

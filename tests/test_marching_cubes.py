@@ -567,3 +567,23 @@ def test_tiles_emit_large_tile_no_word_overflow():
     # Same triangle count and vertex set as the small-tile path.
     r = np.linalg.norm(vh[fh.reshape(-1)] - (nx - 1) / 2, axis=1)
     assert np.all(np.isfinite(r))
+
+
+def test_ntri_kernel_matches_tables():
+    """The in-VMEM ntri lookup kernel (mc._ntri_of_kernel, the TPU path
+    of ntri_of) must equal the raw table at every code for BOTH
+    variants, including the padded ragged tail, in interpret mode."""
+    import jax.numpy as jnp
+    from sdf_tpu.core import mc
+
+    rng = np.random.RandomState(9)
+    for variant in ("default", "lewiner"):
+        tab = mc.get_tables(variant)
+        for n in (7, 16384, 50001):
+            codes = rng.randint(0, tab.ncase, n).astype(np.int32)
+            want = tab.ntri[codes]
+            got = np.asarray(
+                mc._ntri_of_kernel(jnp.asarray(codes), variant,
+                                   _interpret=True)
+            )
+            np.testing.assert_array_equal(got, want)
