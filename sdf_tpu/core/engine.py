@@ -776,8 +776,6 @@ def generate(
                 # volume evals once per (expression, dtype, grid).
                 from . import sparse as sparse_mod
 
-                xla_vol = [None]  # reused below if XLA wins
-
                 def _pal():
                     return pallas_eval.eval_and_classify(
                         sdf_c, X, Y, Z, dtype
@@ -786,8 +784,9 @@ def generate(
                 def _xla():
                     # _cell_cases is itself jitted (re-wrapping would
                     # compile a second executable per race).
-                    xla_vol[0] = _eval_volume(sdf_c, X, Y, Z, dtype)
-                    return mc._cell_cases(xla_vol[0])
+                    return mc._cell_cases(
+                        _eval_volume(sdf_c, X, Y, Z, dtype)
+                    )
 
                 try:
                     jax.block_until_ready(_xla())
@@ -803,12 +802,18 @@ def generate(
                 if not won:
                     # The discarded kernel's phase time would otherwise
                     # double-count evaluation next to eval_volume in
-                    # LAST_STATS on this one deciding run.
+                    # LAST_STATS on this one deciding run; and the
+                    # reused race eval must still appear as an
+                    # eval_volume phase (its dispatch was re-issued by
+                    # the race loop -- record a fresh dispatch so the
+                    # stats shape matches every later run).
                     if "pallas_eval" in stats:
                         stats["pallas_eval_lost_race"] = stats.pop(
                             "pallas_eval"
                         )
-                    vol, case = xla_vol[0], None
+                    with _phase("eval_volume", stats):
+                        vol = _eval_volume(sdf_c, X, Y, Z, dtype)
+                    case = None
         if vol is None:
             with _phase("eval_volume", stats):
                 vol = _eval_volume(sdf_c, X, Y, Z, dtype)

@@ -22,6 +22,7 @@ reference's tile semantics via masks.
 
 from __future__ import annotations
 
+import functools
 from functools import partial
 
 import jax
@@ -207,6 +208,21 @@ def _ntri_of_kernel(case, variant, _interpret=False):
     return nt.reshape(-1)[:n].reshape(shape)
 
 
+@functools.lru_cache()
+def _ntri_kernel_ok(variant):
+    """One-time EAGER probe of the ntri kernel per variant (table shapes
+    differ).  A try/except around the traced call cannot catch Mosaic
+    compile failures (they happen after tracing returns -- code-review
+    finding); the eager probe downgrades to the XLA form instead of
+    crashing every count phase."""
+    try:
+        z = jnp.zeros(16, jnp.int32)
+        jax.block_until_ready(_ntri_of_kernel(z, variant))
+        return True
+    except Exception:
+        return False
+
+
 def ntri_of(case, variant="default"):
     """Per-cell triangle counts WITHOUT a table gather.
 
@@ -225,11 +241,10 @@ def ntri_of(case, variant="default"):
     multi-GB at a 2^26 grid (~16 ms default / ~19 ms lewiner, whose
     row table is 164 wide); in VMEM the lookup is ~2-7 ms.
     """
-    if jax.default_backend() == "tpu":
-        try:
-            return _ntri_of_kernel(case, variant)
-        except Exception:
-            pass  # Mosaic lowering surprise: fall through to XLA
+    if jax.default_backend() == "tpu" and _ntri_kernel_ok(
+        "default" if variant == "fast" else variant
+    ):
+        return _ntri_of_kernel(case, variant)
     tab = get_tables(variant)
     flat = case.reshape(-1)
     oh_hi = jax.nn.one_hot(flat >> 4, tab.ntri_2d.shape[0], dtype=jnp.bfloat16)

@@ -229,6 +229,24 @@ def _ext_from_bits_kernel(case, extra, _interpret=False):
     return ext.reshape(-1)[:n].reshape(shape)
 
 
+@functools.lru_cache()
+def _ext_kernel_ok():
+    """One-time EAGER probe of the table kernel on this backend.
+
+    A try/except around the traced call could never catch a Mosaic
+    compile failure (compilation happens after tracing returns, outside
+    any per-call try -- code-review finding); probing on concrete tiny
+    inputs executes eagerly even when the caller is mid-trace, so a
+    lowering failure downgrades to the XLA form instead of crashing
+    every lewiner-variant generate()."""
+    try:
+        z = jnp.zeros(16, jnp.int32)
+        jax.block_until_ready(_ext_from_bits_kernel(z, z))
+        return True
+    except Exception:
+        return False
+
+
 @jax.jit
 def _classify_ext_jit(volume, level, base_case):
     c = _corners(volume, level)
@@ -239,11 +257,8 @@ def _classify_ext_jit(volume, level, base_case):
         for i in range(8):
             case = case | (jnp.int32(1 << i) * (c[i] < 0).astype(jnp.int32))
     extra = extra_bits(c)
-    if jax.default_backend() == "tpu":
-        try:
-            return _ext_from_bits_kernel(case, extra)
-        except Exception:
-            pass  # Mosaic lowering surprise: fall through to XLA
+    if jax.default_backend() == "tpu" and _ext_kernel_ok():
+        return _ext_from_bits_kernel(case, extra)
     return ext_from_bits(case, extra)
 
 

@@ -399,11 +399,13 @@ def _eval_tiles_auto(sdf_c, Xd, Yd, Zd, tiles_d, ntc, tile, dtype,
     # K)); the race winner additionally depends on the tile count.
     key = (_pallas_key(sdf_c, dtype, (int(Xd.shape[0]), int(Yd.shape[0]))),
            tile, int(ntc))
-    blk = _BATCHED_CZ.get(key, "try")
-    if required and blk is False:
-        # A False memo can mean "lost the race", not "cannot compile";
-        # use_pallas=True must re-try the ladder.
-        blk = "try"
+    # Memo states: absent | False (auto -> XLA: compile failure, or the
+    # kernel LOST the race) | ("unraced", cz, xs) (compiles; only a
+    # use_pallas=True call has exercised it) | ("raced", cz, xs) (won
+    # the measured race).  "compiles" and "won the race" are different
+    # facts: a required call must never install a block in a way that
+    # lets auto mode skip the race (code-review finding, twice).
+    blk = _BATCHED_CZ.get(key)
     last_exc = None
 
     def batched(cz, xs):
@@ -426,21 +428,53 @@ def _eval_tiles_auto(sdf_c, Xd, Yd, Zd, tiles_d, ntc, tile, dtype,
         xla_vols[0] = xla()
         return _tile_cases_jit(xla_vols[0], tile, "default")
 
-    if blk not in ("try", False):
+    def memo(value):
+        if len(_BATCHED_CZ) > 256:
+            _BATCHED_CZ.clear()
+        _BATCHED_CZ[key] = value
+
+    def race(block, vols, case):
+        """Race the compiled kernel block against XLA and memoize the
+        verdict.  Returns the routed result.  Costs rounds*K extra
+        evals once per (expression, tile, ntc)."""
+        jax.block_until_ready(xla_classified())  # warm (also compiles)
+        t = _race(
+            [("batched", lambda: batched(*block)),
+             ("xla", xla_classified)]
+        )
+        if t["xla"] < t["batched"]:
+            memo(False)
+            return xla_vols[0], None, "xla"
+        memo(("raced",) + block)
+        return vols, case, "batched"
+
+    if blk is False and required:
+        # A False memo can mean "lost the race", not "cannot compile";
+        # use_pallas=True must re-try the ladder.
+        blk = None
+    won = None
+    if isinstance(blk, tuple):
         # Memoized block size: still guard the call (a stale entry must
-        # degrade to the ladder, not crash auto mode).
+        # degrade to the ladder, not crash).
+        ok = None
         try:
-            vols, case = batched(*blk)
-            return vols, case, "batched"
+            vols, case = batched(blk[1], blk[2])
+            if required or interpret or blk[0] == "raced":
+                return vols, case, "batched"
+            jax.block_until_ready(vols)
+            ok = (blk[1], blk[2])
         except Exception as e:
             last_exc = e
-            blk = "try"
-    if blk == "try":
+            blk = None
+        if ok is not None:
+            # An unraced block (installed by a use_pallas=True call):
+            # auto mode still owes the race.
+            return race(ok, vols, case)
+    if blk is None:
         # Block-size ladder: shrink (z-rows, x-rows) until the tree's
         # live intermediates fit VMEM; the z halo is carried in scratch
         # (free), so only the x halo recompute (xs+1)/xs grows as x
         # blocks shrink -- try the largest first.
-        won = None
         for trycz, tryxs in ((2, None), (3, 16), (3, 10), (1, 4)):
             try:
                 vols, case = batched(trycz, tryxs)
@@ -450,28 +484,19 @@ def _eval_tiles_auto(sdf_c, Xd, Yd, Zd, tiles_d, ntc, tile, dtype,
             except Exception as e:
                 last_exc = e
                 continue
-        if len(_BATCHED_CZ) > 256:
-            _BATCHED_CZ.clear()
-        if won is not None and not required and not interpret:
-            # Race the compiled kernel against XLA (warm both first --
-            # the call here also compiles) and keep the winner.  Costs
-            # rounds*K extra evals once per (expression, tile, ntc).
-            jax.block_until_ready(xla_classified())
-            t = _race(
-                [("batched", lambda: batched(*won)),
-                 ("xla", xla_classified)]
-            )
-            if t["xla"] < t["batched"]:
-                won = None
-                last_exc = None
-        if won is not None:
-            # A required (use_pallas=True) call must NOT overwrite a
-            # race-lost False memo: "compiles" and "won the race" are
-            # different facts, and auto-mode routing owns this memo.
-            if not (required and _BATCHED_CZ.get(key) is False):
-                _BATCHED_CZ[key] = won
+        if won is None:
+            memo(False)
+        elif required or interpret:
+            # No race here: required forces the kernel, and interpret
+            # (CI) timing is meaningless.  Record the block as UNRACED
+            # so the first auto call still measures -- but never
+            # overwrite an existing verdict (a required call must not
+            # change auto-mode routing).
+            if _BATCHED_CZ.get(key) is None:
+                memo(("unraced",) + won)
             return vols, case, "batched"
-        _BATCHED_CZ[key] = False
+        else:
+            return race(won, vols, case)
     if required:
         raise RuntimeError(
             "use_pallas=True: the batched tile kernel failed for this "

@@ -351,11 +351,17 @@ def test_ranks_kernel_matches_cumsum():
     rng = np.random.RandomState(5)
     for n, frac in ((500, 0.3), (8192, 0.9), (50001, 0.01), (4000, 0.0)):
         m = jnp.asarray(rng.rand(n) < frac)
-        _, tab, _ = compact.indices_and_ranktable_of(
+        _, tab, tot = compact.indices_and_ranktable_of(
             m, 8, backend="tpu", _interpret=True
         )
         tru = np.flatnonzero(np.asarray(m)).astype(np.int32)
         if len(tru) == 0:
+            # all-False: no slot has any True before it, so the rank
+            # structure must report 0 "Trues below" everywhere.
+            assert int(tot) == 0
+            probe = jnp.asarray(np.arange(0, n, 7, dtype=np.int32))
+            got = compact.rank_lookup(tab, probe, _force_rows=True)
+            np.testing.assert_array_equal(np.asarray(got), 0)
             continue
         ref = (np.cumsum(np.asarray(m).astype(np.int64)) - 1)[tru]
         got = compact.rank_lookup(tab, jnp.asarray(tru), _force_rows=True)
