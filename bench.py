@@ -24,14 +24,23 @@ otherwise measure dispatch):
 
 Timing method: warm up (compile), then K back-to-back dispatches with one
 tiny-slice sync at the end of each phase batch.  Every phase reports BOTH
-the min and the median across rep batches (the tunneled runtime's
-dispatch latency drifts 2-3x between sessions; docs quote ranges that
-must contain both -- tools/check_docs_perf.py enforces it against the
-committed BENCH_r*.json artifacts).  ``dispatch_floor_ms`` is the
+the min and the median across rep batches.  ``dispatch_floor_ms`` is the
 measured per-dispatch overhead of this runtime (~1.8-4 ms through the
 tunnel, ~0.1 ms on a normal host); raw phase numbers INCLUDE it, the
 ``*_corrected`` eval fields subtract it to report device compute
 (tools/roofline.py is the full accounting).
+
+Weather normalization (round 5): raw wall-clock through the tunneled
+runtime drifts 2-4x between driver sessions on identical code, so every
+invocation also runs the session weather probes
+(sdf_tpu/utils/weather.py: achievable mul-add GFLOP/s, sqrt Gop/s, HBM
+copy GB/s) and reports NORMALIZED metrics -- ``eval_util_2p26``
+(achieved GFLOP/s over the same-session mul-add rate) and
+``emit_2p26_gbeq`` (phase time x same-session copy bandwidth).  Those
+carry the hard regression bands in docs/PERF_QUOTES.json; raw
+throughputs are informational, gated only against the absolute
+BASELINE.md north star (tools/check_docs_perf.py enforces all of it
+against the committed BENCH_r*.json artifacts).
 
 The line also carries the north-star topology witness: the canonicalized
 triangle-soup sha256 of examples/example.py at samples=2**24 for both
@@ -124,6 +133,7 @@ def main():
 
     from sdf_tpu.core import engine, mc, mc33
     from sdf_tpu.core.node import cast
+    from sdf_tpu.utils import weather
 
     dtype = jnp.float32
     f, X, Y, Z, volume, bounds = _example_grid(2**22, dtype)
@@ -138,8 +148,7 @@ def main():
     # size (tools/roofline.py).  Raw phase times below INCLUDE that
     # floor (conservative; what a user of this runtime actually sees);
     # the *_corrected fields subtract it to report device compute.
-    tiny = jnp.ones((2048, 128), jnp.float32)
-    t_floor, _, _ = _timed(jax.jit(lambda v: v + 1.0), tiny, K=32)
+    t_floor = weather.dispatch_floor()
 
     # --- headline: eval throughput (amortized, one final fence) ----------
     t_eval, t_eval_med, vol = _timed(
@@ -205,14 +214,44 @@ def main():
         pts = f.generate(samples=2**22, verbose=False)
         e2es.append(time.perf_counter() - t0)
     t_e2e = min(e2es)
+    # device-deterministic observability from the dense default path:
+    # conflicted-table-cell count (docs/TOPOLOGY.md section 4.2) and the
+    # host-side wire decode cost (round-4 verdict items 5 and 8).
+    confl22 = engine.LAST_STATS.get("mc33_conflicted_cells")
+    decode22_ms = round(engine.LAST_STATS.get("decode", 0.0) * 1e3, 2)
 
     # --- north-star topology witness: example @ 2^24, both variants ------
     soup24 = {}
     tris24 = {}
+    confl24 = None
     for variant in ("lewiner", "fast"):
         p24 = f.generate(samples=2**24, verbose=False, mc_variant=variant)
         soup24[variant] = _soup_hash(p24)
         tris24[variant] = len(p24) // 3
+        if variant == "lewiner":
+            confl24 = engine.LAST_STATS.get("mc33_conflicted_cells")
+
+    # --- ambiguity-rich certificate: the saddle (gyroid) model ----------
+    # Every other at-scale witness (the 2^24 pins above, the example
+    # goldens) is on a model where lewiner and fast produce bit-identical
+    # soups, so a regression that silently collapsed the lewiner default
+    # into the fast tables would pass them all.  The gyroid model has
+    # thousands of ambiguous cells where the two variants make DIFFERENT
+    # topology decisions; its per-variant triangle counts and soup hashes
+    # are pinned (and pinned DISTINCT) in docs/PERF_QUOTES.json
+    # (round-4 verdict item 3).
+    from sdf_tpu.models.zoo import saddle
+
+    sad = saddle()
+    sad_soup = {}
+    sad_tris = {}
+    sad_confl = None
+    for variant in ("lewiner", "fast"):
+        sp = sad.generate(samples=2**22, verbose=False, mc_variant=variant)
+        sad_soup[variant] = _soup_hash(sp)
+        sad_tris[variant] = len(sp) // 3
+        if variant == "lewiner":
+            sad_confl = engine.LAST_STATS.get("mc33_conflicted_cells")
 
     # --- flagship scale: 2^26 (the docs' headline claims, regression-
     # guarded here so BENCH_r* carries every number PERF.md quotes) ------
@@ -221,21 +260,88 @@ def main():
     X26 = np.arange(x0, x1, step26)
     Y26 = np.arange(y0, y1, step26)
     Z26 = np.arange(z0, z1, step26)
-    t_eval26, t_eval26_med, _ = _timed(
+    n26 = len(X26) * len(Y26) * len(Z26)
+    t_eval26, t_eval26_med, vol26 = _timed(
         engine._eval_volume, sdf_c, X26, Y26, Z26, dtype, K=8, reps=3
     )
-    pts26_per_s = (len(X26) * len(Y26) * len(Z26)) / t_eval26
+    pts26_per_s = n26 / t_eval26
+
+    # --- session weather index + the weather-NORMALIZED headline ---------
+    # Raw throughput through this tunnel drifts 2-4x between driver
+    # sessions (round-4: 0.32 G vs 0.76 G on identical code within the
+    # hour), so the gated compute metric is utilization: achieved
+    # GFLOP/s over the SAME-SESSION mul-add probe rate.  A genuine
+    # kernel regression moves it; tunnel weather moves numerator and
+    # denominator together.  Raw pts/s stays in the artifact as an
+    # informational field gated only against the absolute BASELINE.md
+    # north star (>10x the 4.7 M pts/s CPU reference).
+    rates = weather.probe_rates(X26, Y26, Z26, floor=t_floor)
+    t_eval26_c = max(t_eval26 - t_floor, 1e-9)
+    eval_util26, tm_ratio26 = weather.eval_utilization(
+        n26, t_eval26_c, rates
+    )
+
+    # --- 2^26 device pipeline phases (lewiner default) -------------------
+    # The emit phase dominates device cost at scale (round-4: 191 ms vs
+    # 11 ms eval); measure classify/count/emit at 2^26 every run so the
+    # phase has a committed regression guard at the scale where it binds.
+    case8_26 = jax.block_until_ready(jax.jit(mc._cell_cases)(vol26))
+    t_cls26, _, ext26 = _timed(
+        lambda v, c: mc33.classify_ext(v, base_case=c), vol26, case8_26,
+        K=8, reps=3,
+    )
+    cshape26 = tuple(len(a) - 1 for a in (X26, Y26, Z26))
+    keep26 = jnp.ones(cshape26, dtype=bool)
+    tshape26 = tuple(-(-c // s) for c in cshape26)
+    t_cnt26, _, (nc26, tot26, ned26, _pt26, act26, em26) = _timed(
+        lambda v, c, k: mc.count_indexed(v, c, k, s, tshape26, "lewiner"),
+        vol26, ext26, keep26, K=8, reps=3,
+    )
+    ncl26, ntr26, ne26 = (int(v) for v in (nc26, tot26, ned26))
+    packed26 = True if ne26 < (1 << mc.FACE_PACK_BITS) else "wide"
+    t_emit26, _, _out26 = _timed(
+        lambda v, c, a, m: mc.gather_emit_indexed(
+            v, c, a, m, mc.round_capacity(ne26), mc.round_capacity(ntr26),
+            mc.round_capacity(ncl26), packed=packed26, variant="lewiner",
+        ),
+        vol26, ext26, act26, em26, K=8, reps=3,
+    )
+    del _out26, ext26, act26, em26, case8_26, vol26, keep26, _pt26
+
     # (b) warm end-to-end knurling at 2^26 (the workload suite's flagship
-    # sparse-tiles config; exercises cull + tiled eval + indexed emit).
+    # sparse-tiles config; exercises cull + tiled eval + indexed emit),
+    # DECOMPOSED into device / d2h / decode so tunnel transfer weather
+    # cannot masquerade as a device regression (round-4 verdict item 6).
+    from sdf_tpu.core import sparse as sparse_mod
     from sdf_tpu.models.zoo import knurling
 
     k26 = knurling()
     k26.generate(samples=2**26, verbose=False)  # warm (compile + memos)
     t_knurl = float("inf")
-    for _ in range(2):
-        t0 = time.perf_counter()
-        kpts = k26.generate(samples=2**26, verbose=False)
-        t_knurl = min(t_knurl, time.perf_counter() - t0)
+    knurl_phases = {}
+    sparse_mod.PROFILE = engine.PROFILE = True
+    try:
+        for _ in range(2):
+            t0 = time.perf_counter()
+            kpts = k26.generate(samples=2**26, verbose=False)
+            el = time.perf_counter() - t0
+            if el < t_knurl:
+                t_knurl = el
+                st = engine.LAST_STATS
+                # generate() routes knurling dense (39% cull < the tiles
+                # threshold) but the keys cover either route.
+                knurl_phases = {
+                    "device": st.get("device", st.get("tiles_device")),
+                    "d2h": st.get("tiles_d2h", st.get("d2h")),
+                    "d2h_bytes": st.get(
+                        "tiles_d2h_bytes", st.get("d2h_bytes")
+                    ),
+                    "decode": st.get("tiles_decode", st.get("decode")),
+                }
+    finally:
+        sparse_mod.PROFILE = engine.PROFILE = False
+    kn_d2h_mb = (knurl_phases.get("d2h_bytes") or 0) / 1e6
+    kn_d2h_s = knurl_phases.get("d2h") or float("nan")
 
     # --- headline eval, second window -----------------------------------
     # The first eval measurement runs minutes earlier, right after the
@@ -292,15 +398,49 @@ def main():
                     n_points / max(t_eval - t_floor, 1e-9)
                 ),
                 "eval_2p26_pts_per_s": round(pts26_per_s),
-                "eval_2p26_pts_per_s_med": round(
-                    (len(X26) * len(Y26) * len(Z26)) / t_eval26_med
-                ),
-                "eval_2p26_pts_per_s_corrected": round(
-                    (len(X26) * len(Y26) * len(Z26))
-                    / max(t_eval26 - t_floor, 1e-9)
-                ),
+                "eval_2p26_pts_per_s_med": round(n26 / t_eval26_med),
+                "eval_2p26_pts_per_s_corrected": round(n26 / t_eval26_c),
+                # session weather index (same-session probe rates; see
+                # sdf_tpu/utils/weather.py + tools/roofline.py)
+                "probe_muladd_gflops": round(rates["muladd_gflops"], 1),
+                "probe_sqrt_gops": round(rates["sqrt_gops"], 2),
+                "probe_copy_gbs": round(rates["copy_gbs"], 1),
+                # weather-normalized compute headline: achieved GFLOP/s /
+                # same-session mul-add probe rate (the gated metric)
+                "eval_util_2p26": round(eval_util26, 3),
+                "time_model_ratio_2p26": round(tm_ratio26, 3),
+                # 2^26 device pipeline phases, lewiner default
+                "lewiner_classify_2p26_ms": round(t_cls26 * 1e3, 2),
+                "count_2p26_ms": round(t_cnt26 * 1e3, 2),
+                "gather_emit_2p26_ms": round(t_emit26 * 1e3, 2),
+                # weather-normalized emit guard: phase time x same-session
+                # copy bandwidth = the "effective GB" the gather-bound
+                # phase costs -- stable across sessions whose raw clocks
+                # drift together (the gate bands this, not the raw ms)
+                "emit_2p26_gbeq": round(t_emit26 * rates["copy_gbs"], 1),
+                "triangles_2p26": ntr26,
+                # flagship e2e, decomposed (device vs tunnel vs host)
                 "knurling_2p26_e2e_s": round(t_knurl, 3),
+                "knurling_2p26_device_s": knurl_phases.get("device"),
+                "knurling_2p26_d2h_mb": round(kn_d2h_mb, 2),
+                "knurling_2p26_d2h_mbs": round(kn_d2h_mb / kn_d2h_s, 1)
+                if kn_d2h_s else None,
+                "knurling_2p26_decode_ms": round(
+                    (knurl_phases.get("decode") or 0) * 1e3, 1
+                ),
                 "knurling_2p26_triangles": len(kpts) // 3,
+                # host wire-format decode @2^22 (bounds any transfer win)
+                "decode_ms": decode22_ms,
+                # majority-voted MC33 table-entry hits on the headline
+                # models (docs/TOPOLOGY.md section 4.2; dense path only)
+                "mc33_conflicted_cells_2p22": confl22,
+                "mc33_conflicted_cells_2p24": confl24,
+                # ambiguity-rich certificate (pinned DISTINCT per variant)
+                "saddle_tris_2p22_lewiner": sad_tris["lewiner"],
+                "saddle_tris_2p22_fast": sad_tris["fast"],
+                "saddle_soup_2p22_lewiner": sad_soup["lewiner"],
+                "saddle_soup_2p22_fast": sad_soup["fast"],
+                "saddle_mc33_conflicted_cells": sad_confl,
             }
         )
     )

@@ -86,6 +86,15 @@ def _pallas_key(sdf_c, dtype, nxy):
 # (ref sdf/core.py:105-148); this keeps the numbers programmatic.
 LAST_STATS = {}
 
+# When True, the dense generate() path fences device completion before
+# its d2h phase and records ``stats["device"]`` (wall time from the
+# first eval dispatch to the fence) -- one extra tiny read per run, off
+# by default.  bench.py enables it (with core.sparse.PROFILE for the
+# tiles route) to decompose the flagship 2^26 e2e into device / tunnel
+# transfer / host decode, so transfer weather cannot masquerade as a
+# device regression (round-4 verdict item 6).
+PROFILE = False
+
 
 class _phase:
     """Context manager: profiler trace annotation + LAST_STATS timing."""
@@ -667,6 +676,7 @@ def generate(
                 use_pallas=use_pallas,
                 interpret=(jax.default_backend() != "tpu"),
                 return_indexed=True, memo_key=mkey, variant=mc_variant,
+                stats=stats,
             )
 
     # mc33_conflicted_cells stat: counted on the dense (default) path
@@ -731,6 +741,7 @@ def generate(
         backend = jax.default_backend()
         if use_pallas is None:
             use_pallas = "auto" if backend == "tpu" else False
+        _t_dev0 = time.perf_counter()  # device-pipeline start (PROFILE)
         vol = case = None
         if use_pallas:
             from . import pallas_eval
@@ -958,6 +969,12 @@ def generate(
                     vol, case, active, emask, edge_capacity, capacity,
                     cell_capacity, packed=packed, variant=mc_variant,
                 )
+            if PROFILE:
+                # Tiny fenced read so the d2h phase below measures
+                # TRANSFER, not residual device work (block_until_ready
+                # does not reliably fence through a tunneled runtime).
+                np.asarray(faces[:1, :1])
+                stats["device"] = round(time.perf_counter() - _t_dev0, 4)
             with _phase("d2h", stats):
                 if cached is not None:
                     # One RPC for the mesh AND the pending stats.
@@ -974,11 +991,16 @@ def generate(
                     eh, fh = jax.device_get(
                         (everts[:, :ne], faces[:, :n])
                     )
-            if packed is not False:
-                indexed = mc.unpack_indexed(eh, fh, vol.shape)
-            else:
-                vh = eh.astype(np.float64).T  # (ne, 3)
-                indexed = (vh, fh.T)
+                if PROFILE:
+                    stats["d2h_bytes"] = int(eh.nbytes + fh.nbytes)
+            with _phase("decode", stats):
+                # host-side wire-format decode; bench.py pins its cost
+                # (it bounds what any transfer optimization can earn)
+                if packed is not False:
+                    indexed = mc.unpack_indexed(eh, fh, vol.shape)
+                else:
+                    vh = eh.astype(np.float64).T  # (ne, 3)
+                    indexed = (vh, fh.T)
 
     scale = np.array([dx, dy, dz])
     offset = np.array([X[0], Y[0], Z[0]])

@@ -17,6 +17,7 @@ Enable with ``generate(..., sparse="tiles")``.
 
 from __future__ import annotations
 
+import time
 from functools import partial
 
 import jax
@@ -546,10 +547,20 @@ def unpack_tiles_indexed(epack, fpack, tiles_np, tile, dtype=np.float32):
 _COUNTS_MEMO = {}
 
 
+# When True, mesh_sparse_tiles splits its wall time into device /
+# d2h / decode sub-phases in ``stats`` (one extra tiny fenced read per
+# run to separate device completion from transfer -- off by default so
+# the warm path keeps its no-pre-transfer-sync property).  bench.py
+# turns it on to decompose the flagship 2^26 e2e (round-4 verdict
+# item 6: a bad-weather transfer must not masquerade as a device
+# regression).
+PROFILE = False
+
+
 def mesh_sparse_tiles(sdf_c, X, Y, Z, skip, tile, dtype, chunk_tiles=128,
                       use_pallas=False, interpret=False,
                       return_indexed=False, memo_key=None,
-                      variant="default"):
+                      variant="default", stats=None):
     """Tiled sparse pipeline: eval + marching cubes on active tiles only.
 
     Returns (verts (3T, 3) float64 in fractional index coords,
@@ -569,6 +580,7 @@ def mesh_sparse_tiles(sdf_c, X, Y, Z, skip, tile, dtype, chunk_tiles=128,
     """
     import hashlib
 
+    _t_entry = time.perf_counter()
     nx, ny, nz = len(X), len(Y), len(Z)
     cshape = (nx - 1, ny - 1, nz - 1)
 
@@ -682,6 +694,14 @@ def mesh_sparse_tiles(sdf_c, X, Y, Z, skip, tile, dtype, chunk_tiles=128,
         vols, tiles_d, live_d, case, emask, cshape, edge_capacity, capacity,
         cell_capacity, tile, packed=packed, variant=variant,
     )
+    if PROFILE and stats is not None:
+        # Fence device completion with a tiny read so the d2h phase
+        # below measures TRANSFER, not residual device work; "device"
+        # is everything from call entry (dispatch + eval + count sync
+        # on cold runs + emit) to that fence.
+        np.asarray(faces.ravel()[:1])
+        stats["tiles_device"] = round(time.perf_counter() - _t_entry, 4)
+        _t0 = time.perf_counter()
     # Indexed readback (a third of the soup bytes); the emitted count
     # always equals ``total`` (already fetched/memoized), so no extra
     # scalar sync (~40 ms RTT on a tunneled runtime) is needed.
@@ -692,12 +712,18 @@ def mesh_sparse_tiles(sdf_c, X, Y, Z, skip, tile, dtype, chunk_tiles=128,
     else:
         eh = np.asarray(everts[:, :ne])
         fh_raw = np.asarray(faces[:, :n])
+    if PROFILE and stats is not None:
+        stats["tiles_d2h"] = round(time.perf_counter() - _t0, 4)
+        stats["tiles_d2h_bytes"] = int(eh.nbytes + fh_raw.nbytes)
+        _t0 = time.perf_counter()
     pt[tuple(active.T)] = per_tile_h[:nt]
     if packed is not False:
         vh, fh = unpack_tiles_indexed(eh, fh_raw, tiles, tile)
     else:
         vh = eh.astype(np.float64).T  # (ne, 3)
         fh = fh_raw.T
+    if PROFILE and stats is not None:
+        stats["tiles_decode"] = round(time.perf_counter() - _t0, 4)
     if return_indexed:
         return (vh, fh), pt
     return vh[fh.reshape(-1)], pt

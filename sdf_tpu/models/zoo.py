@@ -168,6 +168,51 @@ def customizable_box_lid(**overrides):
     return f
 
 
+def saddle(omega=40.0, t=0.2, r=1.45):
+    """Gyroid shell clipped to a sphere: the ambiguity-rich certificate
+    model (round-4 verdict item 3).
+
+    The gyroid ``cos x sin y + cos y sin z + cos z sin x = t`` is
+    saddle-shaped everywhere, so at a resolution where the period spans
+    only a few cells (omega=40 -> ~8 cells/period at samples=2**22 in
+    the +-r sphere) thousands of cells have diagonally-alternating face
+    signs -- exactly the marching-cubes ambiguities where the lewiner
+    (trilinear-faithful, the generate() default) and fast (fixed
+    separation) variants make DIFFERENT topology decisions.  The
+    reference's own custom-SDF mechanism builds it (ref README.md:
+    258-285 documents bare jnp closures under @sdf3); bench.py pins the
+    per-variant triangle counts and canonicalized-soup hashes of this
+    model so a regression that silently collapsed one variant into the
+    other fails the driver artifact.
+
+    The closure divides by ``omega * sqrt(3)`` (a bound on the gyroid's
+    gradient after the frequency scale) so the field is a valid
+    Lipschitz-1 distance UNDERESTIMATE -- inexact but conservative, the
+    class the reference documents as safe for bounds/culling escape
+    hatches (ref README.md:133-139).
+    """
+    from .. import sdf3
+    import jax.numpy as jnp
+
+    @sdf3
+    def gyroid(omega, t):
+        inv = 1.0 / (omega * np.sqrt(3.0))
+
+        def f(p):
+            q = p * omega
+            x, y, z = q[:, 0], q[:, 1], q[:, 2]
+            g = (
+                jnp.cos(x) * jnp.sin(y)
+                + jnp.cos(y) * jnp.sin(z)
+                + jnp.cos(z) * jnp.sin(x)
+            )
+            return (g - t) * inv
+
+        return f
+
+    return gyroid(omega, t) & sphere(r)
+
+
 # name -> (builder, reference default samples)
 MODELS = {
     "example": (example, 2**22),

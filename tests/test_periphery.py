@@ -391,11 +391,7 @@ def test_read_ascii_stl_clear_error(tmp_path):
         stl.read_binary_stl(path)
 
 
-def test_docs_perf_consistency():
-    """Every committed BENCH_r*.json lies inside the canonical quoted
-    ranges (docs/PERF_QUOTES.json), and the canonical range strings
-    appear in the docs that quote them -- so a quoted headline can
-    never again exclude a driver-captured session (round-3 verdict)."""
+def _load_perf_checker():
     import importlib.util
     import os
 
@@ -406,5 +402,51 @@ def test_docs_perf_consistency():
     )
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
+    return mod
+
+
+def test_docs_perf_consistency():
+    """Every committed BENCH_r*.json satisfies the canonical quotes
+    (docs/PERF_QUOTES.json), and the canonical range strings appear in
+    the docs that quote them -- so a quoted headline can never again
+    exclude a driver-captured session (round-3 verdict; gate semantics
+    weather-normalized in round 5)."""
+    mod = _load_perf_checker()
     errors = mod.check()
     assert not errors, "\n".join(errors)
+
+
+def test_perf_gate_catches_compute_regression():
+    """The weather-normalized gate still catches a REAL regression: a
+    synthetic artifact with normal probe rates but collapsed eval
+    utilization (what a 2x+ compute regression looks like in any
+    weather) must fail, while an in-band utilization passes (round-4
+    verdict item 1's done-criterion)."""
+    mod = _load_perf_checker()
+    q = mod.load_quotes()["quotes"]["eval_util_2p26"]
+    assert "lo" in q, "eval_util_2p26 must carry a hard band"
+    slow = {"eval_util_2p26": q["lo"] * 0.45}  # ~2x compute regression
+    assert mod.check_value("eval_util_2p26", q, slow, "synthetic")
+    ok = {"eval_util_2p26": (q["lo"] + q["hi"]) / 2}
+    assert not mod.check_value("eval_util_2p26", q, ok, "synthetic")
+
+
+def test_perf_gate_weather_fields_have_no_band():
+    """Raw wall-clock fields drift 2-4x with tunnel weather (round-4:
+    0.32 vs 0.76 G pts/s on identical code within the hour), so none of
+    them may carry a two-sided band -- only the absolute BASELINE.md
+    north-star floor (>10x CPU) or informational status."""
+    mod = _load_perf_checker()
+    quotes = mod.load_quotes()["quotes"]
+    for fld in ("value", "vs_baseline", "e2e_ms", "knurling_2p26_e2e_s",
+                "device_pipeline_ms", "eval_2p26_pts_per_s",
+                "dispatch_floor_ms"):
+        q = quotes[fld]
+        assert "lo" not in q and "hi" not in q, (
+            f"{fld}: raw wall-clock metrics must not carry a hard band"
+        )
+    # a weather-hole session (r04's measured 0.32 G = 68x) passes ...
+    q = quotes["value"]
+    assert not mod.check_value("value", q, {"value": 0.32e9}, "syn")
+    # ... but sub-north-star throughput still fails, in any weather
+    assert mod.check_value("value", q, {"value": 30e6}, "syn")

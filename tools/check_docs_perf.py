@@ -1,15 +1,28 @@
 """Docs-vs-driver-artifact perf consistency checker (round-3 verdict
-item: "the perf headline outruns the driver artifact").
+item: "the perf headline outruns the driver artifact"; gate semantics
+rebuilt in round 5 per the round-4 verdict: raw wall-clock through the
+tunneled runtime drifts 2-4x between sessions, so only
+weather-normalized and device-deterministic metrics carry hard bands).
 
 Single source of truth: ``docs/PERF_QUOTES.json`` holds the canonical
-quoted range for every headline metric.  This tool enforces, for every
-committed ``BENCH_r{N}.json`` with ``N >= since``:
+quote for every headline metric.  Quote kinds (checked for every
+committed ``BENCH_r{N}.json`` with ``N >= since``):
 
-  1. the artifact's value lies INSIDE the quoted range (so no quoted
-     range can exclude a driver-captured session again), and
-  2. the canonical ``range_text`` literally appears in every doc file
-     the quote names (so README/PERF/STATUS/SURVEY cannot drift from
-     the range the artifacts are checked against).
+  equals: X        -- device-deterministic pin (hashes, counts): exact.
+  same_as: FIELD   -- must equal another field of the same artifact.
+  differs_from: F  -- must DIFFER from another field (e.g. the
+                      per-variant soup hashes of an ambiguity-rich
+                      model: collapse = regression).
+  lo/hi            -- hard band; reserved for weather-normalized
+                      metrics (utilizations, same-session ratios).
+  floor / ceil     -- one-sided absolute bound (e.g. the BASELINE.md
+                      north star: >10x the CPU reference, any weather).
+  informational    -- no value check; the field must exist and the
+                      observed-band text must appear in the docs.
+
+Every quote also enforces that its canonical ``range_text`` literally
+appears in each doc file it names (so README/PERF/STATUS/SURVEY cannot
+drift from what the artifacts are checked against).
 
 Run directly (``python tools/check_docs_perf.py``) or via
 tests/test_periphery.py::test_docs_perf_consistency.  Exit code 0 =
@@ -54,6 +67,39 @@ def bench_files():
         out.append((int(m.group(1)), os.path.basename(path), data))
     return out
 
+def check_value(field, q, data, name):
+    """Errors for one quote against one artifact's bench line."""
+    v = data[field]
+    errors = []
+    if "equals" in q:
+        if v != q["equals"]:
+            errors.append(f"{name}: {field}={v!r} != pinned {q['equals']!r}")
+    elif "same_as" in q:
+        if v != data.get(q["same_as"]):
+            errors.append(
+                f"{name}: {field}={v!r} != {q['same_as']}="
+                f"{data.get(q['same_as'])!r}"
+            )
+    elif "differs_from" in q:
+        if v == data.get(q["differs_from"]):
+            errors.append(
+                f"{name}: {field}={v!r} EQUALS {q['differs_from']} -- "
+                f"the two are pinned distinct ({q.get('range_text', '')})"
+            )
+    elif q.get("informational"):
+        pass  # existence (checked by the caller) + doc text only
+    else:
+        lo = q.get("lo", q.get("floor", float("-inf")))
+        hi = q.get("hi", q.get("ceil", float("inf")))
+        if not (lo <= v <= hi):
+            kind = "band" if "lo" in q else "absolute bound"
+            errors.append(
+                f"{name}: {field}={v} outside quoted {kind} "
+                f"[{lo}, {hi}] ({q.get('range_text', '')})"
+            )
+    return errors
+
+
 def check():
     quotes = load_quotes()["quotes"]
     errors = []
@@ -69,23 +115,7 @@ def check():
                 # a field the quote requires must exist from its round on
                 errors.append(f"{name}: missing field {field!r} (since r{since})")
                 continue
-            v = data[field]
-            if "equals" in q:
-                if v != q["equals"]:
-                    errors.append(
-                        f"{name}: {field}={v!r} != pinned {q['equals']!r}"
-                    )
-            elif "same_as" in q:
-                if v != data.get(q["same_as"]):
-                    errors.append(
-                        f"{name}: {field}={v!r} != {q['same_as']}="
-                        f"{data.get(q['same_as'])!r}"
-                    )
-            elif not (q["lo"] <= v <= q["hi"]):
-                errors.append(
-                    f"{name}: {field}={v} outside quoted range "
-                    f"[{q['lo']}, {q['hi']}] ({q.get('range_text', '')})"
-                )
+            errors.extend(check_value(field, q, data, name))
         for doc in q.get("must_appear_in", []):
             with open(os.path.join(ROOT, doc)) as fp:
                 text = fp.read()
