@@ -599,7 +599,7 @@ def _resolve_faces(ranktab, cell_state, capacity, cell_capacity, ny, nz,
     round 4 when its 800 MB of random row-gathers at 2^26 measured ~2x
     the per-element cost of the compact-table lookup."""
     ci, cj, ck, cell_case, cell_ntri = cell_state
-    cbits = get_tables(variant).case_bits  # 8 default, 12 lewiner
+    cbits = get_tables(variant).case_bits  # 8 default, 13 lewiner
 
     # Per-triangle cell data.  Element gathers cost ~8 ns each on TPU
     # regardless of table size, so pack (ci, cj, ck, case) into ONE

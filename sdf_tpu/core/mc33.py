@@ -2,10 +2,11 @@
 "lewiner"``): extended-case classification on device.
 
 The table set (see mc33_build.py for the derivation) is addressed by
-``ext = OFFSET[case] + facebits * 4 + ibits`` where ``facebits`` holds the
+``ext = OFFSET[case] + facebits * 9 + ibits`` where ``facebits`` holds the
 bilinear-saddle sign of each ambiguous face (Lewiner's face test) and
-``ibits`` the interior-critical-value signs of the trilinear (the interior/
-tunnel test).  This module computes that code per cell with pure XLA ops
+``ibits`` in [0, 9) the per-saddle-index interior code of the trilinear's
+body saddles (the interior/tunnel test; mc33_build.interior_bits).  This
+module computes that code per cell with pure XLA ops
 over the evaluated volume -- a handful of VPU flops per cell, fused by XLA
 into the classification pass.
 
@@ -53,10 +54,11 @@ def load_tables():
 
 
 # (256, 8) [OFFSET >> 8 | OFFSET & 255 | WEIGHT per face] -- one shared
-# one-hot matmul resolves all per-case constants.  The offset (<= 2624)
+# one-hot matmul resolves all per-case constants.  The offset (<= 5904)
 # travels as two bytes because every table entry must be bf16-exact
-# (integers <= 256); weights are powers of two <= 128.  The one-hot stays
-# bf16 (0/1 entries exact) with f32 accumulation.
+# (8 significant bits); weights are 9 * 2^rank (4 significant bits, bf16-
+# exact).  The one-hot stays bf16 (0/1 entries exact) with f32
+# accumulation.
 @functools.lru_cache()
 def _offw_tab():
     d = load_tables()
@@ -69,7 +71,8 @@ def _offw_tab():
 def extra_bits(c):
     """Packed per-cell topology-resolution bits from the 8 corner values
     ``c`` (broadcastable arrays, any common shape): int32
-    ``facebits | neg << 6 | pos << 7``.
+    ``facebits | ibits9 << 6`` with ``ibits9 = s1 + 3 * s2`` in [0, 9)
+    (mc33_build.interior_bits' per-saddle-index interior code).
 
     Pure jnp math (no tables, no gathers).  The interior test is the
     SHARED guarded algorithm mc33_build.interior_flags -- the float64
@@ -90,8 +93,12 @@ def extra_bits(c):
 
     from . import mc33_build as mb
 
-    neg, pos = mb.interior_flags(jnp, c, float(jnp.finfo(c[0].dtype).eps))
-    return fb | (neg.astype(jnp.int32) << 6) | (pos.astype(jnp.int32) << 7)
+    neg1, pos1, neg2, pos2 = mb.interior_flags(
+        jnp, c, float(jnp.finfo(c[0].dtype).eps)
+    )
+    s1 = jnp.where(neg1, 1, jnp.where(pos1, 2, 0)).astype(jnp.int32)
+    s2 = jnp.where(neg2, 1, jnp.where(pos2, 2, 0)).astype(jnp.int32)
+    return fb | ((s1 + 3 * s2) << 6)
 
 
 def ext_from_bits(case, extra):
@@ -116,7 +123,7 @@ def ext_from_bits(case, extra):
     for f in range(6):
         ext = ext + jnp.where(((eflat >> f) & 1) > 0, ow[2 + f], 0.0)
     ext = ext.astype(jnp.int32)
-    ext = ext + ((eflat >> 6) & 1) + 2 * ((eflat >> 7) & 1)
+    ext = ext + ((eflat >> 6) & 15)  # ibits9 in [0, 9)
     return ext.reshape(case.shape)
 
 
@@ -124,7 +131,10 @@ def ext_from_bits(case, extra):
 def _conflicted_codes():
     """The extended codes whose builder oracle saw a class mixture
     (conflict_rate > 0), so their triangulation is a majority vote
-    (docs/TOPOLOGY.md section 4.2).  A short static tuple (21 codes)."""
+    (docs/TOPOLOGY.md section 4.2).  EMPTY with the round-5 tables (the
+    saddle-index interior code resolved all 21 votes); kept as a
+    tripwire so a future table rebuild that reintroduces votes surfaces
+    per run."""
     return tuple(
         int(c) for c in np.nonzero(load_tables()["conflict_rate"] > 0)[0]
     )
@@ -133,9 +143,9 @@ def _conflicted_codes():
 @jax.jit
 def count_conflicted(ext, keep):
     """Number of kept cells whose extended code is a majority-voted
-    (conflicted) table entry -- the per-run observability hook for the
-    21/1534 codes whose topology rests on the builder's one-time vote.
-    Surfaces as LAST_STATS['mc33_conflicted_cells'] (engine.generate).
+    (conflicted) table entry -- structurally 0 with the round-5 tables
+    (zero conflicted codes; see _conflicted_codes).  Surfaces as
+    LAST_STATS['mc33_conflicted_cells'] (engine.generate).
 
     Formulated as an unrolled chain of elementwise equality tests
     against the (static, ~21-entry) conflicted-code list: a table
@@ -195,7 +205,7 @@ def _ext_table_kernel(case_ref, extra_ref, tab_ref, ext_ref):
         for f in range(6):
             ext = ext + jnp.where(((er >> f) & 1) > 0, ow[2 + f], 0.0)
         exti = ext.astype(jnp.int32)
-        ext_ref[r, :] = exti + ((er >> 6) & 1) + 2 * ((er >> 7) & 1)
+        ext_ref[r, :] = exti + ((er >> 6) & 15)  # ibits9 in [0, 9)
 
 
 def _ext_from_bits_kernel(case, extra, _interpret=False):

@@ -8,19 +8,27 @@ face test), interior "tunnel" ambiguities by an interior test.  This module
 derives an equivalent table set from first principles instead of
 transcribing Lewiner's tables:
 
-  1. **Extended case code.**  ``ext = OFFSET[case] + facebits * 4 + ibits``
+  1. **Extended case code.**  ``ext = OFFSET[case] + facebits * 9 + ibits``
      where ``case`` is the usual 8-bit corner-sign code, ``facebits`` packs
      one *joined* bit per ambiguous face of the case (bit set iff the
      bilinear saddle on that face is inside, i.e. the two inside corners
      connect across the face -- exactly Lewiner's face test), and
-     ``ibits`` is the interior code: bit 0 set iff the trilinear has an
-     interior critical point, inside the open cell, with a negative value
-     (the inside region connects through the cell body -- an inside
-     tunnel); bit 1 likewise for a positive critical value (an outside
-     tunnel, which matters for complement cases).  The sign pattern of the
-     interior critical values is the complete interior discriminator of
-     trilinear topology; the build asserts per code that it is.  Total
-     ``sum_case 2^n_ambiguous(case) * 4 = 2624`` entries.
+     ``ibits`` in [0, 9) is the interior code ``s1 + 3 * s2`` describing
+     the trilinear's two body saddles.  The interpolant's Hessian has a
+     zero diagonal (f is multilinear), so every interior critical point
+     is a saddle, of index 1 (det H < 0) or index 2 (det H > 0) -- and
+     the two critical points, when both exist, always have opposite
+     det H signs, so the det sign names the root intrinsically.  ``s1``
+     is the index-1 saddle's state, ``s2`` the index-2 saddle's: 0 =
+     absent or outside the open cell, 1 = strictly inside with a
+     negative critical value, 2 = inside with a positive value.  The
+     sign of the critical value alone (the pre-round-5 2-bit code)
+     under-determined topology for 21 codes (MC33 subcases 7.4 and
+     13.5); adding the saddle index makes the oracle's class assignment
+     single-valued on every realizable code away from the measure-zero
+     ``f(critical point) == 0`` transition (verified by the build:
+     ``conflict_rate`` is all-zero).  Total
+     ``sum_case 2^n_ambiguous(case) * 9 = 5904`` entries.
 
   2. **Boundary loops.**  For each (case, facebits) the marching-squares
      segments on the six faces -- with each ambiguous face resolved by its
@@ -75,7 +83,11 @@ def ambiguous_faces(case):
 
 def build_offsets():
     """OFFSET[case] (ext base index) and WEIGHT[case, face] (contribution of
-    face ``f``'s joined bit to ``facebits * 4``; 0 for unambiguous faces)."""
+    face ``f``'s joined bit to ``facebits * 9``; 0 for unambiguous faces).
+
+    Every weight is ``9 * 2^rank`` -- 4 significant bits, so bf16-exact
+    (the runtime classify resolves per-case constants through a bf16
+    one-hot matmul; see mc33.py)."""
     offset = np.zeros(256, dtype=np.int32)
     weight = np.zeros((256, 6), dtype=np.int32)
     nxt = 0
@@ -83,8 +95,8 @@ def build_offsets():
         offset[case] = nxt
         amb = ambiguous_faces(case)
         for rank, f in enumerate(amb):
-            weight[case, f] = (1 << rank) * 4
-        nxt += (1 << len(amb)) * 4
+            weight[case, f] = (1 << rank) * 9
+        nxt += (1 << len(amb)) * 9
     return offset, weight, nxt
 
 
@@ -221,16 +233,25 @@ GUARD_ULPS = 64.0
 
 
 def interior_flags(xp, c, eps):
-    """(neg, pos) interior-tunnel flags -- THE interior test, shared
-    verbatim by the float64 numpy oracle (interior_bits / ext_code) and
-    the device path (mc33.extra_bits).
+    """(neg1, pos1, neg2, pos2) interior-saddle flags -- THE interior
+    test, shared verbatim by the float64 numpy oracle (interior_bits /
+    ext_code) and the device path (mc33.extra_bits).
 
     ``xp`` is ``numpy`` or ``jax.numpy``; ``c`` the 8 per-cell corner
     value arrays in CORNER_OFFSETS order (broadcastable); ``eps`` the
-    machine epsilon of the compute dtype.  Returns two boolean arrays:
-    the trilinear interpolant has a critical point strictly inside the
-    open cell with a negative (inside tunnel) / positive (outside
-    tunnel) value.
+    machine epsilon of the compute dtype.  Returns four boolean arrays:
+    ``neg1``/``pos1`` -- the trilinear has an INDEX-1 body saddle
+    (det H < 0) strictly inside the open cell with a negative / positive
+    critical value; ``neg2``/``pos2`` likewise for the index-2 saddle
+    (det H > 0).  The Hessian of a multilinear f has zero diagonal, so
+    interior critical points are always saddles and det H = 2abc with
+    ``a = k4 + k7 z``, ``b = k5 + k7 y``, ``c = k6 + k7 x``; the two
+    roots carry opposite det signs, so the sign names the root.  The
+    saddle index is what the critical-value sign alone misses: an
+    index-2 saddle with positive value attaches the tunnel that joins
+    the inside sheets (MC33 subcase 7.4.2-style), an index-1 saddle with
+    the same value sign does not (subcase 7.4.1) -- see the module
+    docstring and docs/TOPOLOGY.md.
 
     Critical points solve grad f = 0: y = -(k1 + k5 z)/(k4 + k7 z),
     x = -(k2 + k6 z)/(k4 + k7 z), and A z^2 + B z + C = 0 with
@@ -312,8 +333,10 @@ def interior_flags(xp, c, eps):
     q = -0.5 * (B + xp.where(B < 0, -sq, sq))
     errq = 0.5 * (errB + errsq)
 
-    neg = xp.zeros_like(A, dtype=bool)
-    pos = xp.zeros_like(A, dtype=bool)
+    neg1 = xp.zeros_like(A, dtype=bool)
+    pos1 = xp.zeros_like(A, dtype=bool)
+    neg2 = xp.zeros_like(A, dtype=bool)
+    pos2 = xp.zeros_like(A, dtype=bool)
     for num, den, errnum, errden in ((q, A, errq, errA), (C, q, errC, errq)):
         root_ok = has_roots & (xp.abs(den) > errden)
         dsafe = xp.where(den == 0, 1.0, den)
@@ -360,20 +383,46 @@ def interior_flags(xp, c, eps):
             & (y > erry) & (y < 1.0 - erry)
             & (z > errz) & (z < 1.0 - errz)
         )
-        neg = neg | (ok & (fv < -tolfv))
-        pos = pos | (ok & (fv > tolfv))
-    return neg, pos
+        # Saddle index: sign of det H = 2 a b c (a = dd, computed above).
+        # Guarded like every other decision -- index-2 only when the
+        # determinant clears its propagated error bound; a within-bound
+        # (degenerate, merged-roots) determinant classifies as index-1 on
+        # both backends.
+        bb = k5 + k7 * y
+        cc = k6 + k7 * x
+        errbb = g * (xp.abs(k5) + xp.abs(k7 * y)) + xp.abs(k7) * erry
+        errcc = g * (xp.abs(k6) + xp.abs(k7 * x)) + xp.abs(k7) * errx
+        det = dd * bb * cc
+        errdet = (
+            xp.abs(bb * cc) * errdd
+            + xp.abs(dd * cc) * errbb
+            + xp.abs(dd * bb) * errcc
+            + 2.0 * g * xp.abs(det)
+        )
+        idx2 = det > errdet
+        fneg = ok & (fv < -tolfv)
+        fpos = ok & (fv > tolfv)
+        neg1 = neg1 | (fneg & ~idx2)
+        pos1 = pos1 | (fpos & ~idx2)
+        neg2 = neg2 | (fneg & idx2)
+        pos2 = pos2 | (fpos & idx2)
+    return neg1, pos1, neg2, pos2
 
 
 def interior_bits(v):
-    """The interior code, vectorized over (..., 8) corner values:
-    neg + 2 * pos of the shared guarded interior test (interior_flags --
-    the same algorithm the device path runs), in float64."""
+    """The interior code in [0, 9), vectorized over (..., 8) corner
+    values: ``s1 + 3 * s2`` from the shared guarded interior test
+    (interior_flags -- the same algorithm the device path runs), in
+    float64.  Per saddle slot, a negative critical value takes priority
+    over a positive one (two same-slot roots can only collide in the
+    degenerate merged-root case; the rule is shared with the device)."""
     v = np.asarray(v, dtype=np.float64)
-    neg, pos = interior_flags(
+    neg1, pos1, neg2, pos2 = interior_flags(
         np, tuple(v[..., i] for i in range(8)), np.finfo(np.float64).eps
     )
-    return neg.astype(np.int64) + 2 * pos.astype(np.int64)
+    s1 = np.where(neg1, 1, np.where(pos1, 2, 0))
+    s2 = np.where(neg2, 1, np.where(pos2, 2, 0))
+    return (s1 + 3 * s2).astype(np.int64)
 
 
 def face_joined_bits(v, case=None):
@@ -399,8 +448,8 @@ def ext_code(v, case=None):
     if case is None:
         case = ((v < 0) << np.arange(8)).sum(axis=-1).astype(np.int64)
     jb = face_joined_bits(v)
-    fb4 = (jb * WEIGHT[case]).sum(axis=-1)  # facebits * 4
-    return OFFSET[case] + fb4 + interior_bits(v)
+    fb9 = (jb * WEIGHT[case]).sum(axis=-1)  # facebits * 9
+    return OFFSET[case] + fb9 + interior_bits(v)
 
 
 # ---------------------------------------------------------------------------
@@ -537,7 +586,7 @@ def sample_realizations(case, n, rng):
 
 def _facebits_of(v, case):
     jb = face_joined_bits(v)
-    return (jb * WEIGHT[case]).sum(axis=-1) // 4
+    return (jb * WEIGHT[case]).sum(axis=-1) // 9
 
 
 def _partition_escalating(v, loops, n0):
@@ -589,10 +638,10 @@ def build_tables(samples_per_case=60000, reps_per_bucket=3, oracle_n=64,
             v = sample_realizations(case, samples_per_case, rng)
             fb_all = _facebits_of(v, case)
             ib_all = interior_bits(v)
-            key_all = fb_all * 4 + ib_all
+            key_all = fb_all * 9 + ib_all
             for key in np.unique(key_all):
                 idx = np.flatnonzero(key_all == key)
-                fb, ib = int(key) // 4, int(key) % 4
+                fb, ib = int(key) // 9, int(key) % 9
                 loops = loops_of(case, fb)
                 picks = idx[
                     rng.choice(len(idx), size=min(reps_per_bucket, len(idx)),
@@ -641,7 +690,7 @@ def build_tables(samples_per_case=60000, reps_per_bucket=3, oracle_n=64,
                         for p in parts:
                             counts[p] = counts.get(p, 0) + 1
                 best = max(counts, key=counts.get)
-                ext = OFFSET[case] + fb * 4 + ib
+                ext = OFFSET[case] + fb * 9 + ib
                 conflict_rate[ext] = 1.0 - counts[best] / len(parts)
                 rep = v[picks[parts.index(best)]]
                 partitions[(fb, ib)] = (best, rep)
@@ -649,13 +698,13 @@ def build_tables(samples_per_case=60000, reps_per_bucket=3, oracle_n=64,
         for fb in range(nfb):
             loops = loops_of(case, fb)
             singleton = tuple(sorted((i,) for i in range(len(loops))))
-            for ib in range(4):
-                ext = OFFSET[case] + fb * 4 + ib
+            for ib in range(9):
+                ext = OFFSET[case] + fb * 9 + ib
                 got = partitions.get((fb, ib))
                 if got is not None:
                     meta_realizable[ext] = True
                 else:
-                    for alt in range(4):  # any observed interior slot
+                    for alt in range(9):  # any observed interior slot
                         got = partitions.get((fb, alt))
                         if got is not None:
                             break

@@ -36,14 +36,14 @@ def _tables():
 
 
 def test_layout_census():
-    """Extended-code layout: 4 interior slots per facebits combo, offsets
-    consistent, total 2624 = sum over cases of 2^ambiguous * 4."""
+    """Extended-code layout: 9 interior slots per facebits combo, offsets
+    consistent, total 5904 = sum over cases of 2^ambiguous * 9."""
     d = _tables()
-    assert d["tri_table"].shape[0] == mb.N_EXT == 2624
+    assert d["tri_table"].shape[0] == mb.N_EXT == 5904
     nxt = 0
     for case in range(256):
         assert mb.OFFSET[case] == nxt
-        nxt += (1 << len(mb.ambiguous_faces(case))) * 4
+        nxt += (1 << len(mb.ambiguous_faces(case))) * 9
     assert nxt == mb.N_EXT
 
 
@@ -92,8 +92,8 @@ def test_all_entries_watertight_with_pinned_boundary():
     ntri = d["ntri"]
     for case in range(256):
         for fb in range(1 << len(mb.ambiguous_faces(case))):
-            for ib in range(4):
-                e = mb.OFFSET[case] + fb * 4 + ib
+            for ib in range(9):
+                e = mb.OFFSET[case] + fb * 9 + ib
                 tris = [tuple(t) for t in tri[e][: ntri[e]]]
                 _entry_boundary_check(case, fb, tris)
 
@@ -290,7 +290,7 @@ def test_sampled_entries_match_trilinear_oracle():
             if not len(idx):
                 continue  # rare code not re-hit in this draw
             rel = e - mb.OFFSET[case]
-            fb = rel // 4
+            fb = rel // 9
             loops = mb.loops_of(case, fb)
             part = mb._partition_escalating(v[idx[0]], loops, 64)
             if part is None:
@@ -303,14 +303,16 @@ def test_sampled_entries_match_trilinear_oracle():
 
 def _tunnel_realization():
     """A case-65 (body-diagonal pair) realization whose trilinear has a
-    tunnel: corners 0 and 6 inside, interior critical value negative."""
+    tunnel: corners 0 and 6 inside, a negative interior critical value
+    (any saddle-index slot), and oracle-confirmed joined loops."""
     rng = np.random.default_rng(5)
+    loops = mb.loops_of(65, 0)
     for _ in range(200):
         v = mb.sample_realizations(65, 500, rng)
         ib = mb.interior_bits(v)
-        hit = np.flatnonzero(ib == 1)
-        if len(hit):
-            return v[hit[0]]
+        for hit in np.flatnonzero(np.isin(ib, (1, 3, 4))):
+            if mb._partition_escalating(v[hit], loops, 64) == ((0, 1),):
+                return v[hit]
     raise AssertionError("no tunnel realization found")
 
 
@@ -433,7 +435,7 @@ def test_example_model_golden_lewiner():
 
 
 def test_resolve_faces_middle_branch_lewiner():
-    """Grids past 2^19 cells overflow the (cell index | 12-bit ext code)
+    """Grids past 2^18 cells overflow the (cell index | 13-bit ext code)
     int32 pack, taking _resolve_faces' lin-fill + case-gather branch:
     its triangle soup must equal the tiles path's (which packs
     tile-locally and never overflows at tile=32)."""
@@ -450,13 +452,13 @@ def test_resolve_faces_middle_branch_lewiner():
         mc_variant="lewiner",
     )
     dense = f.generate(sparse=False, **kw)
-    # 2^20 samples -> ~100^3 cells > 2^19: the dense path used the
-    # middle branch (the packed branch needs < 2^19 cells at cbits=12)
+    # 2^20 samples -> ~100^3 cells > 2^18: the dense path used the
+    # middle branch (the packed branch needs < 2^18 cells at cbits=13)
     n_cells = np.prod(
         [len(np.arange(a, b, (3.2 * 2.4 * 2.4 / 2**20) ** (1 / 3))) - 1
          for a, b in ((-1.3, 1.9), (-1.2, 1.2), (-1.2, 1.2))]
     )
-    assert n_cells >= (1 << 19)
+    assert n_cells >= (1 << 18)
     tiles = f.generate(sparse="tiles", **kw)
 
     # round(9) canonicalization (same as the goldens): at this grid size
@@ -565,8 +567,12 @@ def test_ext_table_kernel_matches_xla_form():
     import numpy as np
     from sdf_tpu.core import mc33
 
-    c_all = jnp.asarray(np.repeat(np.arange(256), 256).astype(np.int32))
-    e_all = jnp.asarray(np.tile(np.arange(256), 256).astype(np.int32))
+    # full extra domain: facebits in [0, 64) | ibits9 in [0, 9) << 6
+    extras = np.asarray(
+        [fb | (ib << 6) for ib in range(9) for fb in range(64)], np.int32
+    )
+    c_all = jnp.asarray(np.repeat(np.arange(256), len(extras)).astype(np.int32))
+    e_all = jnp.asarray(np.tile(extras, 256))
     want = np.asarray(mc33.ext_from_bits(c_all, e_all))
     got = np.asarray(
         mc33._ext_from_bits_kernel(c_all, e_all, _interpret=True)

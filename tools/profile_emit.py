@@ -9,9 +9,12 @@ time actually goes.
 Usage: python tools/profile_emit.py [log2_samples]
 """
 
+import os
 import sys
 import time
 from functools import partial
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 import jax.numpy as jnp
